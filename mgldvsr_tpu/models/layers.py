@@ -1,0 +1,195 @@
+"""Shared neural building blocks (flax.linen, NHWC, fp32 params / bf16-able
+compute).
+
+Capability-parity notes (structure only; all code TPU-first, channels-last):
+- GroupNorm/SiLU/conv stacks match the SD UNet & VAE conventions
+  (/root/reference/ldm/modules/diffusionmodules/openaimodel.py,
+  /root/reference/ldm/modules/diffusionmodules/model.py).
+- ``zero_init`` convs reproduce the zero-initialised output projections that
+  make residual branches identity at init.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+def group_norm(num_groups: int = 32, eps: float = 1e-5, dtype: Dtype = jnp.float32):
+    # Norm statistics in fp32 for stability regardless of compute dtype.
+    return nn.GroupNorm(num_groups=num_groups, epsilon=eps, dtype=jnp.float32,
+                        param_dtype=jnp.float32)
+
+
+def conv3x3(features: int, dtype: Dtype = jnp.float32, zero_init: bool = False,
+            name: str | None = None, strides: int = 1):
+    init = nn.initializers.zeros if zero_init else nn.initializers.lecun_normal()
+    return nn.Conv(features, (3, 3), strides=(strides, strides), padding=1,
+                   kernel_init=init, dtype=dtype, param_dtype=jnp.float32, name=name)
+
+
+def conv1x1(features: int, dtype: Dtype = jnp.float32, zero_init: bool = False,
+            name: str | None = None):
+    init = nn.initializers.zeros if zero_init else nn.initializers.lecun_normal()
+    return nn.Conv(features, (1, 1), kernel_init=init, dtype=dtype,
+                   param_dtype=jnp.float32, name=name)
+
+
+class Upsample(nn.Module):
+    """2x nearest upsample, optionally followed by a 3x3 conv."""
+
+    channels: int
+    use_conv: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n, h, w, c = x.shape
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        if self.use_conv:
+            x = conv3x3(self.channels, self.dtype, name="conv")(x)
+        return x
+
+
+class Downsample(nn.Module):
+    """2x downsample: stride-2 conv (symmetric padding, UNet flavor) or
+
+    average pooling when ``use_conv=False``."""
+
+    channels: int
+    use_conv: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.use_conv:
+            return conv3x3(self.channels, self.dtype, name="op", strides=2)(x)
+        return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+class VAEDownsample(nn.Module):
+    """SD-VAE downsample: stride-2 conv with asymmetric (0,1) padding."""
+
+    channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        return nn.Conv(self.channels, (3, 3), strides=(2, 2), padding="VALID",
+                       dtype=self.dtype, param_dtype=jnp.float32, name="conv")(x)
+
+
+class TimestepEmbedMLP(nn.Module):
+    """linear -> SiLU -> linear over sinusoidal timestep features."""
+
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t_feat):
+        h = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(t_feat)
+        h = nn.silu(h)
+        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(h)
+
+
+class UNetResBlock(nn.Module):
+    """OpenAI-UNet residual block with additive timestep conditioning.
+
+    Structure parity: ResBlock at
+    /root/reference/ldm/modules/diffusionmodules/openaimodel.py:233-360.
+    """
+
+    out_channels: int
+    emb_channels: int
+    dropout: float = 0.0
+    use_scale_shift_norm: bool = False
+    up: bool = False
+    down: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb, *, deterministic: bool = True):
+        c_in = x.shape[-1]
+        h = group_norm(dtype=self.dtype)(x)
+        h = nn.silu(h)
+        if self.up:
+            h = _nearest2x(h)
+            x = _nearest2x(x)
+        elif self.down:
+            h = nn.avg_pool(h, (2, 2), strides=(2, 2))
+            x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        h = conv3x3(self.out_channels, self.dtype, name="conv1")(h)
+
+        emb_out = nn.Dense(
+            2 * self.out_channels if self.use_scale_shift_norm else self.out_channels,
+            dtype=self.dtype, param_dtype=jnp.float32, name="emb_proj",
+        )(nn.silu(emb))
+        emb_out = emb_out[:, None, None, :]
+
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            h = group_norm(dtype=self.dtype)(h) * (1 + scale) + shift
+        else:
+            h = h + emb_out
+            h = group_norm(dtype=self.dtype)(h)
+        h = nn.silu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = conv3x3(self.out_channels, self.dtype, zero_init=True, name="conv2")(h)
+
+        if c_in != self.out_channels:
+            x = conv1x1(self.out_channels, self.dtype, name="skip")(x)
+        return x + h
+
+
+def _nearest2x(x):
+    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+
+class VAEResnetBlock(nn.Module):
+    """SD-VAE residual block (GroupNorm eps=1e-6, swish, 3x3 convs).
+
+    Structure parity: ResnetBlock at
+    /root/reference/ldm/modules/diffusionmodules/model.py.
+    """
+
+    out_channels: int
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        c_in = x.shape[-1]
+        h = group_norm(eps=1e-6, dtype=self.dtype)(x)
+        h = nn.silu(h)
+        h = conv3x3(self.out_channels, self.dtype, name="conv1")(h)
+        h = group_norm(eps=1e-6, dtype=self.dtype)(h)
+        h = nn.silu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = conv3x3(self.out_channels, self.dtype, name="conv2")(h)
+        if c_in != self.out_channels:
+            x = conv1x1(self.out_channels, self.dtype, name="nin_shortcut")(x)
+        return x + h
+
+
+class VAEAttnBlock(nn.Module):
+    """Single-head full self-attention over spatial positions (VAE mid)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n, h, w, c = x.shape
+        y = group_norm(eps=1e-6, dtype=self.dtype)(x)
+        q = conv1x1(c, self.dtype, name="q")(y).reshape(n, h * w, c)
+        k = conv1x1(c, self.dtype, name="k")(y).reshape(n, h * w, c)
+        v = conv1x1(c, self.dtype, name="v")(y).reshape(n, h * w, c)
+        attn = jax.nn.dot_product_attention(
+            q[:, :, None, :], k[:, :, None, :], v[:, :, None, :]
+        ).reshape(n, h, w, c)
+        out = conv1x1(c, self.dtype, name="proj_out")(attn)
+        return x + out

@@ -1,0 +1,109 @@
+"""Temporal mixing modules: 3x1x1 temporal conv and temporal self-attention.
+
+Capability parity with SpatialTemporalConv / MultiDimTemporalConv
+(/root/reference/ldm/modules/diffusionmodules/util.py:291-339) and
+TemporalAttention (/root/reference/ldm/modules/attention.py:124-143).
+
+TPU-first design: inputs stay in the flattened (B*T, H, W, C) video layout
+used throughout the pipeline; temporal convs reshape to (B, T, H, W, C) and
+run a 1-D conv over T (XLA maps this to the MXU as a small dense contraction);
+temporal attention attends over the tiny T axis with (B*H*W) as batch.
+
+The learnable blend scalar ``alpha`` mixes the temporal branch with the
+identity: out = alpha * temporal(x) + (1 - alpha) * x. The reference leaves
+this parameter *uninitialised* (torch.Tensor(1)); we zero-init so fresh models
+start as the identity (pretrained values flow in via the weight converter).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+class SpatialTemporalConv(nn.Module):
+    """Per-pixel temporal conv (kernel 3 over T), alpha-blended residual."""
+
+    num_frames: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        bt, h, w, c = x.shape
+        t = self.num_frames
+        b = bt // t
+        v = x.reshape(b, t, h, w, c)
+        # Conv over the temporal axis only: treat (h, w) as extra spatial dims
+        # with kernel size 1.
+        res = nn.Conv(
+            c, kernel_size=(3, 1, 1), padding=((1, 1), (0, 0), (0, 0)),
+            dtype=self.dtype, param_dtype=jnp.float32, name="temporal_conv",
+        )(v)
+        res = res.reshape(bt, h, w, c)
+        alpha = self.param("alpha", nn.initializers.zeros, (1,), jnp.float32)
+        alpha = alpha.astype(x.dtype)
+        return alpha * res + (1 - alpha) * x
+
+
+class MultiDimTemporalConv(nn.Module):
+    """Dilated dual-branch temporal conv variant (sigmoid-gated blend)."""
+
+    num_frames: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        bt, h, w, c = x.shape
+        t = self.num_frames
+        b = bt // t
+        v = x.reshape(b, t, h, w, c)
+        res1 = nn.Conv(
+            c, kernel_size=(3, 1, 1), padding=((1, 1), (0, 0), (0, 0)),
+            dtype=self.dtype, param_dtype=jnp.float32, name="temporal_conv1",
+        )(v)
+        res2 = nn.Conv(
+            c, kernel_size=(3, 1, 1), padding=((2, 2), (0, 0), (0, 0)),
+            kernel_dilation=(2, 1, 1),
+            dtype=self.dtype, param_dtype=jnp.float32, name="temporal_conv2",
+        )(v)
+        res = (res1 + res2).reshape(bt, h, w, c)
+        alpha = self.param("alpha", nn.initializers.zeros, (1,), jnp.float32)
+        gate = jax.nn.sigmoid(alpha).astype(x.dtype)
+        return gate * res + (1 - gate) * x
+
+
+class TemporalAttention(nn.Module):
+    """Self-attention over the T axis for each spatial location.
+
+    (B*T, H, W, C) -> (B*H*W, T, C) -> LayerNorm -> MHA -> alpha blend.
+    """
+
+    num_frames: int
+    num_heads: int = 8
+    dim_head: int = 64
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        bt, h, w, c = x.shape
+        t = self.num_frames
+        b = bt // t
+        seq = x.reshape(b, t, h * w, c).transpose(0, 2, 1, 3).reshape(b * h * w, t, c)
+        y = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name="norm")(seq)
+        inner = self.num_heads * self.dim_head
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="to_q")(y)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="to_k")(y)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="to_v")(y)
+        def heads(z):
+            return z.reshape(b * h * w, t, self.num_heads, self.dim_head)
+        attn = jax.nn.dot_product_attention(heads(q), heads(k), heads(v))
+        attn = attn.reshape(b * h * w, t, inner)
+        res = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32, name="to_out")(attn)
+        res = res.reshape(b, h * w, t, c).transpose(0, 2, 1, 3).reshape(bt, h, w, c)
+        alpha = self.param("alpha", nn.initializers.zeros, (1,), jnp.float32)
+        alpha = alpha.astype(x.dtype)
+        return alpha * res + (1 - alpha) * x

@@ -1,0 +1,32 @@
+"""Test configuration: run all tests on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; the JAX idiom for testing
+sharding/collectives without a pod is to force the host platform and split it
+into virtual devices. This must happen before jax is imported anywhere.
+"""
+import os
+import sys
+
+# Force-override: the environment may pin JAX_PLATFORMS to a TPU plugin via
+# sitecustomize; tests must run on the virtual CPU mesh. Set MGLD_TEST_TPU=1
+# to run the suite against real hardware instead.
+if not os.environ.get("MGLD_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return jax.random.PRNGKey(0)
