@@ -1,0 +1,232 @@
+"""Tests for the motion-guided sampling core and colorfix.
+
+Oracles are written independently in torch from the documented semantics
+(see SURVEY.md §2.1/§3.2), not copied from the reference.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn.functional as F
+
+from mgldvsr_tpu.core.schedules import DiffusionSchedule, respace_schedule
+from mgldvsr_tpu.core.diffusion import (
+    SamplerConfig,
+    adaptive_instance_normalization,
+    initial_latents,
+    p_sample,
+    sample_video,
+    temporal_warp_loss,
+)
+from mgldvsr_tpu.infer.colorfix import wavelet_color_fix, apply_colorfix
+
+
+def _rand(*shape, seed=0):
+    return np.random.RandomState(seed).randn(*shape).astype(np.float32)
+
+
+# --- torch oracle for the temporal warp loss ------------------------------
+
+
+def _torch_flow_warp(x_nchw, flow_nhwc):
+    n, c, h, w = x_nchw.shape
+    gy, gx = torch.meshgrid(
+        torch.arange(h, dtype=torch.float32),
+        torch.arange(w, dtype=torch.float32),
+        indexing="ij",
+    )
+    grid = torch.stack((gx, gy), 2)[None] + flow_nhwc
+    vx = 2.0 * grid[..., 0] / max(w - 1, 1) - 1.0
+    vy = 2.0 * grid[..., 1] / max(h - 1, 1) - 1.0
+    return F.grid_sample(
+        x_nchw,
+        torch.stack((vx, vy), dim=-1),
+        mode="bilinear",
+        padding_mode="zeros",
+        align_corners=True,
+    )
+
+
+def _oracle_v4(lat_btchw, flow_f, flow_b, fwd_occ, bwd_occ, t):
+    """Reference-loop semantics: backward then forward accumulation with a
+    zeros placeholder for the first comparison and the one-step-stale warp."""
+    b = lat_btchw.shape[0] // t
+    lat = lat_btchw.reshape(b, t, *lat_btchw.shape[1:])
+    loss = torch.zeros(())
+    prev = torch.zeros_like(lat[:, 0])
+    for k in range(t - 2, -1, -1):
+        m = 1 - fwd_occ[:, k]
+        loss = loss + F.l1_loss(m * prev, m * lat[:, k])
+        prev = _torch_flow_warp(lat[:, k], flow_b[:, k].permute(0, 2, 3, 1))
+    prev = torch.zeros_like(lat[:, 0])
+    for k in range(1, t):
+        n_ = 1 - bwd_occ[:, k - 1]
+        loss = loss + F.l1_loss(n_ * prev, n_ * lat[:, k])
+        prev = _torch_flow_warp(lat[:, k], flow_f[:, k - 1].permute(0, 2, 3, 1))
+    return loss
+
+
+def test_temporal_warp_loss_matches_torch_oracle():
+    t, h, w, c = 5, 8, 8, 4
+    lat = _rand(t, h, w, c, seed=0)
+    ff = _rand(1, t - 1, h, w, 2, seed=1) * 1.5
+    fb = _rand(1, t - 1, h, w, 2, seed=2) * 1.5
+    occ_f = (np.random.RandomState(3).rand(1, t - 1, h, w, 1) > 0.8).astype(np.float32)
+    occ_b = (np.random.RandomState(4).rand(1, t - 1, h, w, 1) > 0.8).astype(np.float32)
+
+    ours = temporal_warp_loss(
+        jnp.asarray(lat),
+        (jnp.asarray(ff), jnp.asarray(fb)),
+        (jnp.asarray(occ_f), jnp.asarray(occ_b)),
+        num_frames=t,
+        mode="reference",
+    )
+
+    # torch oracle wants NCHW latents/flows/occs
+    ref = _oracle_v4(
+        torch.from_numpy(lat).permute(0, 3, 1, 2),
+        torch.from_numpy(ff).permute(0, 1, 4, 2, 3),
+        torch.from_numpy(fb).permute(0, 1, 4, 2, 3),
+        torch.from_numpy(occ_f).permute(0, 1, 4, 2, 3),
+        torch.from_numpy(occ_b).permute(0, 1, 4, 2, 3),
+        t,
+    )
+    assert abs(float(ours) - float(ref)) < 2e-5
+
+
+def test_temporal_warp_loss_aligned_zero_for_static_scene():
+    """With zero flow, no occlusion, identical frames: aligned loss is 0."""
+    t, h, w, c = 5, 8, 8, 2
+    frame = _rand(1, h, w, c, seed=5)
+    lat = jnp.asarray(np.tile(frame, (t, 1, 1, 1)))
+    zeros_f = jnp.zeros((1, t - 1, h, w, 2))
+    occ = jnp.zeros((1, t - 1, h, w, 1))
+    loss = temporal_warp_loss(lat, (zeros_f, zeros_f), (occ, occ), t, mode="aligned")
+    assert float(loss) < 1e-6
+
+
+# --- adain / colorfix -----------------------------------------------------
+
+
+def test_adain_transfers_moments():
+    content = _rand(2, 16, 16, 3, seed=6) * 3 + 1
+    style = _rand(2, 16, 16, 3, seed=7) * 0.5 - 2
+    out = adaptive_instance_normalization(jnp.asarray(content), jnp.asarray(style))
+    out = np.asarray(out)
+    for n in range(2):
+        for ch in range(3):
+            assert abs(out[n, :, :, ch].mean() - style[n, :, :, ch].mean()) < 1e-3
+            assert abs(out[n, :, :, ch].std(ddof=1) - style[n, :, :, ch].std(ddof=1)) < 1e-2
+
+
+def _torch_wavelet_fix(target_nchw, source_nchw, levels=5):
+    def blur(img, radius):
+        k = torch.tensor(
+            [[0.0625, 0.125, 0.0625], [0.125, 0.25, 0.125], [0.0625, 0.125, 0.0625]]
+        )
+        c = img.shape[1]
+        k = k[None, None].repeat(c, 1, 1, 1)
+        img = F.pad(img, (radius,) * 4, mode="replicate")
+        return F.conv2d(img, k, groups=c, dilation=radius)
+
+    def decomp(img):
+        high = torch.zeros_like(img)
+        for i in range(levels):
+            low = blur(img, 2**i)
+            high = high + (img - low)
+            img = low
+        return high, img
+
+    ch, _ = decomp(target_nchw)
+    _, sl = decomp(source_nchw)
+    return ch + sl
+
+
+def test_wavelet_color_fix_matches_torch():
+    tgt = _rand(1, 32, 32, 3, seed=8)
+    src = _rand(1, 32, 32, 3, seed=9)
+    ours = np.asarray(wavelet_color_fix(jnp.asarray(tgt), jnp.asarray(src)))
+    ref = (
+        _torch_wavelet_fix(
+            torch.from_numpy(tgt).permute(0, 3, 1, 2),
+            torch.from_numpy(src).permute(0, 3, 1, 2),
+        )
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    assert np.allclose(ours, ref, atol=1e-4), np.abs(ours - ref).max()
+
+
+# --- sampler --------------------------------------------------------------
+
+
+def _make_scheds():
+    base = DiffusionSchedule.create(
+        timesteps=1000, beta_schedule="linear", linear_start=0.00085, linear_end=0.0120
+    )
+    return base, respace_schedule(base, 8)
+
+
+def test_sample_video_runs_and_guidance_changes_output():
+    base, resp = _make_scheds()
+    t, h, w, c = 5, 8, 8, 4
+    rng = jax.random.PRNGKey(0)
+    z_lq = jax.random.normal(rng, (t, h, w, c))
+    x_T = initial_latents(base, z_lq, jax.random.PRNGKey(1))
+
+    def denoise_fn(x, t_orig):
+        # pseudo-denoiser: predicts eps as a fixed fraction of x (stable)
+        return 0.1 * x
+
+    cfg = SamplerConfig(num_frames=t, guidance_scale=-10.0)
+    flows = (
+        0.5 * jax.random.normal(jax.random.PRNGKey(2), (1, t - 1, h, w, 2)),
+        0.5 * jax.random.normal(jax.random.PRNGKey(3), (1, t - 1, h, w, 2)),
+    )
+    masks = (
+        jnp.zeros((1, t - 1, h, w, 1)),
+        jnp.zeros((1, t - 1, h, w, 1)),
+    )
+    out_guided = sample_video(
+        resp, denoise_fn, x_T, jax.random.PRNGKey(4), cfg, flows, masks
+    )
+    out_plain = sample_video(resp, denoise_fn, x_T, jax.random.PRNGKey(4), cfg)
+    assert out_guided.latents.shape == x_T.shape
+    assert np.isfinite(np.asarray(out_guided.latents)).all()
+    # guidance must actually alter the trajectory
+    diff = float(jnp.abs(out_guided.latents - out_plain.latents).max())
+    assert diff > 1e-6
+
+    # same seed, same inputs => deterministic
+    out_again = sample_video(
+        resp, denoise_fn, x_T, jax.random.PRNGKey(4), cfg, flows, masks
+    )
+    assert np.allclose(
+        np.asarray(out_guided.latents), np.asarray(out_again.latents)
+    )
+
+
+def test_sample_video_intermediates_and_jit():
+    base, resp = _make_scheds()
+    t, h, w, c = 5, 4, 4, 2
+    x_T = jax.random.normal(jax.random.PRNGKey(0), (t, h, w, c))
+    cfg = SamplerConfig(num_frames=t, return_intermediates=True)
+
+    @jax.jit
+    def run(x_T, key):
+        return sample_video(resp, lambda x, tt: 0.1 * x, x_T, key, cfg)
+
+    out = run(x_T, jax.random.PRNGKey(1))
+    assert out.intermediates.shape == (resp.num_timesteps, t, h, w, c)
+    # last intermediate equals the final output
+    assert np.allclose(np.asarray(out.intermediates[-1]), np.asarray(out.latents))
+
+
+def test_initial_latents_statistics():
+    base, _ = _make_scheds()
+    z = jnp.zeros((5, 8, 8, 4))
+    x_T = initial_latents(base, z, jax.random.PRNGKey(0), t_start=999)
+    # at t=999, sqrt(1-ac) ~ 1 so x_T ~ N(0,1)
+    s = float(jnp.std(x_T))
+    assert 0.9 < s < 1.1
