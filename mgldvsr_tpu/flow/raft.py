@@ -1,0 +1,347 @@
+"""RAFT optical flow, TPU-native.
+
+Capability parity with the configured flownet `RAFT_SR` ('normal' variant)
+(/root/reference/basicsr/archs/raft_arch.py:668-807: BasicEncoder fnet
+(instance norm, 256ch) + cnet (frozen batch norm, 128+128), 4-level all-pairs
+correlation pyramid with radius-4 lookup, BasicMotionEncoder + SepConvGRU
+update, learned convex 8x upsampling, 10 iterations, /8 replicate padding).
+
+TPU-first design decisions:
+- channels-last NHWC throughout; the all-pairs correlation is one batched
+  matmul on the MXU ([B,HW,C] @ [B,C,HW]).
+- the radius-4 window lookup is 4 clipped ``take_along_axis`` gathers over
+  the flattened [B, HW, Hl*Wl] volume with the 81 window offsets folded into
+  the index tensor (no grid_sample primitive needed).
+- the 10 GRU iterations run under ``jax.lax.scan`` carrying (net, coords1),
+  so the whole flow solve is one compact XLA program.
+- cnet's BatchNorm is a frozen affine (running statistics are converter-
+  supplied parameters): RAFT is inference-only in this pipeline.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+# ---------------------------------------------------------------------------
+# Norm helpers
+# ---------------------------------------------------------------------------
+
+
+def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Parameter-free instance norm over spatial dims (torch affine=False)."""
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.var(x, axis=(1, 2), keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+class FrozenBatchNorm(nn.Module):
+    """Inference-mode batch norm: y = scale*(x - mean)/sqrt(var+eps) + bias.
+
+    Running statistics are parameters filled in by the weight converter."""
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("mean", nn.initializers.zeros, (self.features,))
+        var = self.param("var", nn.initializers.ones, (self.features,))
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        return x * inv + (bias - mean * inv)
+
+
+def _norm(kind: str, features: int, name: str):
+    if kind == "batch":
+        return FrozenBatchNorm(features, name=name)
+    if kind == "instance":
+        return lambda x: instance_norm(x)
+    if kind == "none":
+        return lambda x: x
+    if kind == "group":
+        return nn.GroupNorm(num_groups=features // 8, name=name)
+    raise ValueError(kind)
+
+
+def _conv(features, kernel, name, strides=1, padding="SAME"):
+    return nn.Conv(
+        features,
+        kernel if isinstance(kernel, tuple) else (kernel, kernel),
+        strides=(strides, strides),
+        padding=padding,
+        name=name,
+        param_dtype=jnp.float32,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature / context encoder
+# ---------------------------------------------------------------------------
+
+
+class ResidualBlock(nn.Module):
+    planes: int
+    norm_fn: str = "instance"
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.relu(_norm(self.norm_fn, self.planes, "norm1")(
+            _conv(self.planes, 3, "conv1", strides=self.stride)(x)))
+        y = nn.relu(_norm(self.norm_fn, self.planes, "norm2")(
+            _conv(self.planes, 3, "conv2")(y)))
+        if self.stride != 1 or x.shape[-1] != self.planes:
+            x = _norm(self.norm_fn, self.planes, "norm3")(
+                _conv(self.planes, 1, "downsample", strides=self.stride)(x))
+        return nn.relu(x + y)
+
+
+class BasicEncoder(nn.Module):
+    """7x7 stem + three 2-block residual stages (64/96/128) + 1x1 head."""
+
+    output_dim: int = 256
+    norm_fn: str = "instance"
+
+    @nn.compact
+    def __call__(self, x):
+        x = _conv(64, 7, "conv1", strides=2)(x)
+        x = _norm(self.norm_fn, 64, "norm1")(x)
+        x = nn.relu(x)
+        for i, (dim, stride) in enumerate([(64, 1), (96, 2), (128, 2)]):
+            x = ResidualBlock(dim, self.norm_fn, stride, name=f"layer{i+1}_0")(x)
+            x = ResidualBlock(dim, self.norm_fn, 1, name=f"layer{i+1}_1")(x)
+        return _conv(self.output_dim, 1, "conv2")(x)
+
+
+# ---------------------------------------------------------------------------
+# Correlation pyramid
+# ---------------------------------------------------------------------------
+
+
+def build_corr_pyramid(
+    fmap1: jnp.ndarray, fmap2: jnp.ndarray, num_levels: int = 4
+) -> Sequence[jnp.ndarray]:
+    """All-pairs correlation then 2x average pooling over target dims.
+
+    fmap*: [B, H, W, C]. Returns per-level [B, H*W, Hl, Wl]."""
+    b, h, w, c = fmap1.shape
+    f1 = fmap1.reshape(b, h * w, c)
+    f2 = fmap2.reshape(b, h * w, c)
+    corr = jnp.einsum("bnc,bmc->bnm", f1, f2,
+                      preferred_element_type=jnp.float32) / jnp.sqrt(
+                          jnp.float32(c))
+    corr = corr.reshape(b, h * w, h, w)
+    pyramid = [corr]
+    for _ in range(num_levels - 1):
+        bl, n, hl, wl = corr.shape
+        # floor-truncate odd dims like torch avg_pool2d stride 2
+        corr = corr[:, :, : (hl // 2) * 2, : (wl // 2) * 2]
+        corr = corr.reshape(bl, n, hl // 2, 2, wl // 2, 2).mean(axis=(3, 5))
+        pyramid.append(corr)
+    return pyramid
+
+
+def lookup_corr(
+    pyramid: Sequence[jnp.ndarray], coords: jnp.ndarray, radius: int = 4
+) -> jnp.ndarray:
+    """Sample each pyramid level in a (2r+1)^2 window around ``coords``.
+
+    coords: [B, H, W, 2] (x, y) in level-0 pixel units.
+    Returns [B, H, W, num_levels*(2r+1)^2]."""
+    b, h, w, _ = coords.shape
+    n = h * w
+    r = radius
+    win = 2 * r + 1
+    # window offsets, (dy, dx) ordering to match the reference's meshgrid
+    dy, dx = jnp.meshgrid(
+        jnp.linspace(-r, r, win), jnp.linspace(-r, r, win), indexing="ij"
+    )
+    delta = jnp.stack([dx, dy], axis=-1).reshape(1, 1, win * win, 2)
+
+    out = []
+    for lvl, corr in enumerate(pyramid):
+        _, _, hl, wl = corr.shape
+        cf = corr.reshape(b, n, hl * wl)
+        ctr = coords.reshape(b, n, 1, 2) / (2**lvl)
+        pts = ctr + delta  # [B, N, win*win, 2]
+        px, py = pts[..., 0], pts[..., 1]
+        x0 = jnp.floor(px)
+        y0 = jnp.floor(py)
+        tx = (px - x0).astype(cf.dtype)
+        ty = (py - y0).astype(cf.dtype)
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+
+        def corner(dyi, dxi):
+            ix = x0i + dxi
+            iy = y0i + dyi
+            inb = ((ix >= 0) & (ix <= wl - 1) & (iy >= 0) & (iy <= hl - 1))
+            idx = jnp.clip(iy, 0, hl - 1) * wl + jnp.clip(ix, 0, wl - 1)
+            v = jnp.take_along_axis(cf, idx.reshape(b, n, -1), axis=2)
+            v = v.reshape(b, n, win * win)
+            return v * inb.astype(cf.dtype)
+
+        v00 = corner(0, 0)
+        v01 = corner(0, 1)
+        v10 = corner(1, 0)
+        v11 = corner(1, 1)
+        sampled = ((v00 * (1 - tx) + v01 * tx) * (1 - ty)
+                   + (v10 * (1 - tx) + v11 * tx) * ty)
+        out.append(sampled)
+    return jnp.concatenate(out, axis=-1).reshape(b, h, w, -1)
+
+
+# ---------------------------------------------------------------------------
+# Update block
+# ---------------------------------------------------------------------------
+
+
+class BasicMotionEncoder(nn.Module):
+    corr_planes: int
+
+    @nn.compact
+    def __call__(self, flow, corr):
+        cor = nn.relu(_conv(256, 1, "convc1")(corr))
+        cor = nn.relu(_conv(192, 3, "convc2")(cor))
+        flo = nn.relu(_conv(128, 7, "convf1")(flow))
+        flo = nn.relu(_conv(64, 3, "convf2")(flo))
+        out = nn.relu(_conv(126, 3, "conv")(jnp.concatenate([cor, flo], -1)))
+        return jnp.concatenate([out, flow], axis=-1)
+
+
+class SepConvGRU(nn.Module):
+    hidden_dim: int = 128
+
+    @nn.compact
+    def __call__(self, h, x):
+        for axis, names in ((1, ("convz1", "convr1", "convq1")),
+                            (0, ("convz2", "convr2", "convq2"))):
+            k = (1, 5) if axis == 1 else (5, 1)
+            hx = jnp.concatenate([h, x], axis=-1)
+            z = jax.nn.sigmoid(_conv(self.hidden_dim, k, names[0])(hx))
+            r = jax.nn.sigmoid(_conv(self.hidden_dim, k, names[1])(hx))
+            q = jnp.tanh(_conv(self.hidden_dim, k, names[2])(
+                jnp.concatenate([r * h, x], axis=-1)))
+            h = (1 - z) * h + z * q
+        return h
+
+
+class BasicUpdateBlock(nn.Module):
+    corr_planes: int
+    hidden_dim: int = 128
+
+    @nn.compact
+    def __call__(self, net, inp, corr, flow):
+        motion = BasicMotionEncoder(self.corr_planes, name="encoder")(flow, corr)
+        x = jnp.concatenate([inp, motion], axis=-1)
+        net = SepConvGRU(self.hidden_dim, name="gru")(net, x)
+        dflow = _conv(2, 3, "flow_head_conv2")(
+            nn.relu(_conv(256, 3, "flow_head_conv1")(net)))
+        mask = 0.25 * _conv(64 * 9, 1, "mask_conv2")(
+            nn.relu(_conv(256, 3, "mask_conv1")(net)))
+        return net, mask, dflow
+
+
+# ---------------------------------------------------------------------------
+# Convex upsampling + assembly
+# ---------------------------------------------------------------------------
+
+
+def convex_upsample_flow(flow: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Learned 8x upsampling: per output pixel a softmax-convex combination
+    of the 3x3 coarse neighborhood. flow [N,H,W,2], mask [N,H,W,9*64]."""
+    n, h, w, _ = flow.shape
+    m = mask.reshape(n, h, w, 9, 8, 8)
+    m = jax.nn.softmax(m, axis=3)
+    f = 8.0 * flow
+    fpad = jnp.pad(f, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    patches = jnp.stack(
+        [
+            fpad[:, 1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w, :]
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ],
+        axis=3,
+    )  # [N,H,W,9,2]
+    up = jnp.einsum("nhwkij,nhwkc->nhwijc", m, patches)  # [N,H,W,8,8,2]
+    up = up.transpose(0, 1, 3, 2, 4, 5)  # [N,H,8,W,8,2]
+    return up.reshape(n, 8 * h, 8 * w, 2)
+
+
+@dataclasses.dataclass(frozen=True)
+class RAFTConfig:
+    hidden_dim: int = 128
+    context_dim: int = 128
+    corr_levels: int = 4
+    corr_radius: int = 4
+    iters: int = 10
+
+
+class RAFT(nn.Module):
+    """ref, supp: [N, H, W, 3] in [0, 1] (RAFT_SR skips the [-1,1] rescale).
+
+    Returns flow [N, H, W, 2] mapping supp -> ref sampling positions
+    (``flow_warp(supp, flow) ≈ ref``)."""
+
+    cfg: RAFTConfig = RAFTConfig()
+
+    @nn.compact
+    def __call__(self, ref, supp):
+        cfg = self.cfg
+        n, h, w, _ = ref.shape
+        # replicate-pad to /8 ('sintel': split pad both sides)
+        pad_h = (8 - h % 8) % 8
+        pad_w = (8 - w % 8) % 8
+        pt, pb = pad_h // 2, pad_h - pad_h // 2
+        plft, prgt = pad_w // 2, pad_w - pad_w // 2
+        if pad_h or pad_w:
+            pad = ((0, 0), (pt, pb), (plft, prgt), (0, 0))
+            ref = jnp.pad(ref, pad, mode="edge")
+            supp = jnp.pad(supp, pad, mode="edge")
+        hp, wp = ref.shape[1], ref.shape[2]
+
+        fnet = BasicEncoder(256, "instance", name="fnet")
+        cnet = BasicEncoder(cfg.hidden_dim + cfg.context_dim, "batch", name="cnet")
+        both = fnet(jnp.concatenate([ref, supp], axis=0)).astype(jnp.float32)
+        fmap1, fmap2 = both[:n], both[n:]
+        pyramid = build_corr_pyramid(fmap1, fmap2, cfg.corr_levels)
+
+        ctx = cnet(ref)
+        net = jnp.tanh(ctx[..., : cfg.hidden_dim])
+        inp = nn.relu(ctx[..., cfg.hidden_dim :])
+
+        h8, w8 = hp // 8, wp // 8
+        gx, gy = jnp.meshgrid(jnp.arange(w8, dtype=jnp.float32),
+                              jnp.arange(h8, dtype=jnp.float32), indexing="xy")
+        coords0 = jnp.broadcast_to(jnp.stack([gx, gy], -1), (n, h8, w8, 2))
+
+        corr_planes = cfg.corr_levels * (2 * cfg.corr_radius + 1) ** 2
+        update = BasicUpdateBlock(corr_planes, cfg.hidden_dim, name="update_block")
+
+        def step(carry, _):
+            net, coords1 = carry
+            coords1 = jax.lax.stop_gradient(coords1)
+            corr = lookup_corr(pyramid, coords1, cfg.corr_radius)
+            flow = coords1 - coords0
+            net, mask, dflow = update(net, inp, corr, flow)
+            coords1 = coords1 + dflow
+            return (net, coords1), mask
+
+        # flax-compatible scan over the module-applying step
+        carry = (net, coords0)
+        masks = None
+        for _ in range(cfg.iters):
+            carry, masks = step(carry, None)
+        net, coords1 = carry
+
+        flow_up = convex_upsample_flow(coords1 - coords0, masks)
+        # unpad
+        return flow_up[:, pt : pt + h, plft : plft + w, :]

@@ -22,6 +22,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+# sitecustomize may have imported jax (axon TPU tunnel) before this conftest
+# ran, in which case the env var above was captured too late — update the
+# live config as well (backends are initialised lazily, so this still wins).
+if not os.environ.get("MGLD_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import pytest  # noqa: E402
