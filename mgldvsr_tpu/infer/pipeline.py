@@ -1,0 +1,204 @@
+"""End-to-end MGLD-VSR inference pipeline, fully jittable.
+
+Mirrors the fixed-size inference protocol of
+/root/reference/scripts/vsr_val_ddpm_text_T_vqganfin_old.py:291-396 as one
+pure function: VAE-encode the (bicubic pre-upscaled) LQ frames, build
+x_T by noising the LQ latent to t=999 on the original schedule, compute RAFT
+flows + occlusion masks at 1/8 resolution, run the 50-step motion-guided
+sampler (one ``lax.scan`` XLA program), decode with the temporal video
+decoder fusing LQ encoder features, and color-fix.
+
+TPU-first: the entire restore step (minus tokenization, which is static)
+compiles to a single XLA program; batch = frames; all convs/attention in
+channels-last layout.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mgldvsr_tpu.core.diffusion import (
+    SamplerConfig,
+    initial_latents,
+    sample_video,
+)
+from mgldvsr_tpu.core.schedules import DiffusionSchedule, respace_schedule
+from mgldvsr_tpu.flow.compute import (
+    compute_clip_flows,
+    compute_occlusion_masks,
+    flows_to_latent_res,
+)
+from mgldvsr_tpu.flow.raft import RAFT, RAFTConfig
+from mgldvsr_tpu.infer.colorfix import apply_colorfix
+from mgldvsr_tpu.models.cliptext import (
+    CLIPTextConfig,
+    OpenCLIPTextEncoder,
+    empty_prompt_tokens,
+)
+from mgldvsr_tpu.models.unet import (
+    InflatedUNetDualCond,
+    StructCondConfig,
+    StructCondEncoder,
+    UNetConfig,
+)
+from mgldvsr_tpu.models.vae import DiagonalGaussian, VAEConfig, VideoAutoencoderKLResi
+from mgldvsr_tpu.ops.resize import resize2d
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    num_frames: int = 5
+    sf: int = 4
+    scale_factor: float = 0.18215
+    timesteps: int = 1000
+    ddpm_steps: int = 50
+    linear_start: float = 0.00085
+    linear_end: float = 0.0120
+    guidance_scale: float = -10.0
+    guidance_mode: str = "reference"
+    dec_w: float = 1.0
+    colorfix: str = "adain"
+    unet: UNetConfig = UNetConfig()
+    structcond: StructCondConfig = StructCondConfig()
+    vae: VAEConfig = dataclasses.field(
+        default_factory=lambda: VAEConfig(num_frames=5, enable_fusion=True)
+    )
+    clip: CLIPTextConfig = CLIPTextConfig()
+    raft: RAFTConfig = RAFTConfig()
+
+
+class MGLDVSRPipeline:
+    """Holds module definitions + schedules; params are passed per call
+    (pure-functional, shardable)."""
+
+    def __init__(self, cfg: PipelineConfig = PipelineConfig()):
+        self.cfg = cfg
+        self.unet = InflatedUNetDualCond(cfg.unet)
+        self.structcond = StructCondEncoder(cfg.structcond)
+        self.vae = VideoAutoencoderKLResi(cfg.vae)
+        self.clip = OpenCLIPTextEncoder(cfg.clip)
+        self.raft = RAFT(cfg.raft)
+        self.base_sched = DiffusionSchedule.create(
+            timesteps=cfg.timesteps,
+            beta_schedule="linear",
+            linear_start=cfg.linear_start,
+            linear_end=cfg.linear_end,
+        )
+        self.sched = respace_schedule(self.base_sched, cfg.ddpm_steps)
+
+    # -- parameter initialisation (random; real weights via io.ckpt_convert)
+
+    def init_params(self, rng: jax.Array, height: int = 512, width: int = 512
+                    ) -> Dict[str, Any]:
+        cfg = self.cfg
+        t = cfg.num_frames
+        ks = jax.random.split(rng, 5)
+        frames = jnp.zeros((t, height, width, 3))
+        lat = jnp.zeros((t, height // 8, width // 8, 4))
+        tsteps = jnp.zeros((t,), jnp.int32)
+        tokens = empty_prompt_tokens(t, cfg.clip.context_length)
+        s_cond = self.structcond.init(ks[0], lat, tsteps)
+        ctx = jnp.zeros((t, cfg.clip.context_length, cfg.clip.width))
+        sc = self.structcond.apply(s_cond, lat, tsteps)
+        return {
+            "unet": self.unet.init(ks[1], lat, tsteps, ctx, sc),
+            "structcond": s_cond,
+            "vae": self.vae.init(ks[2], frames, lat),
+            "clip": self.clip.init(ks[3], tokens),
+            "raft": self.raft.init(ks[4], frames, frames),
+        }
+
+    # -- stages ------------------------------------------------------------
+
+    def encode(self, params, frames_pm1: jnp.ndarray, rng: jax.Array):
+        """frames in [-1,1] -> (scaled latent, multi-scale LQ features)."""
+        moments, enc_fea = self.vae.apply(
+            params["vae"], frames_pm1, method="encode"
+        )
+        z = DiagonalGaussian(moments).sample(rng)
+        return self.cfg.scale_factor * z, enc_fea
+
+    def decode(self, params, latents: jnp.ndarray, enc_fea,
+               dec_w: Optional[float] = None) -> jnp.ndarray:
+        w = self.cfg.dec_w if dec_w is None else dec_w
+        return self.vae.apply(
+            params["vae"], latents / self.cfg.scale_factor, enc_fea, w,
+            method="decode",
+        )
+
+    def embed_empty_prompt(self, params, batch: int) -> jnp.ndarray:
+        tokens = empty_prompt_tokens(batch, self.cfg.clip.context_length)
+        return self.clip.apply(params["clip"], tokens)
+
+    def compute_flows(self, params, frames_01: jnp.ndarray):
+        """frames [T,H,W,3] in [0,1] -> latent-res flows + occlusion masks."""
+        clip_frames = frames_01[None]
+        ff, fb = compute_clip_flows(
+            lambda a, b: self.raft.apply(params["raft"], a, b), clip_frames
+        )
+        ff = flows_to_latent_res(ff, 0.125)
+        fb = flows_to_latent_res(fb, 0.125)
+        fwd_occ, bwd_occ = compute_occlusion_masks(ff, fb)
+        return (ff, fb), (fwd_occ, bwd_occ)
+
+    def denoise_fn(self, params, struct_latent, context):
+        def fn(x, t_orig):
+            s_cond = self.structcond.apply(
+                params["structcond"], struct_latent, t_orig
+            )
+            return self.unet.apply(params["unet"], x, t_orig, context, s_cond)
+
+        return fn
+
+    # -- full restore ------------------------------------------------------
+
+    def restore_segment(
+        self,
+        params,
+        frames_01: jnp.ndarray,
+        rng: jax.Array,
+        dec_w: Optional[float] = None,
+        use_guidance: bool = True,
+    ) -> jnp.ndarray:
+        """[T, H, W, 3] target-size frames in [0,1] -> SR frames in [0,1].
+
+        Jit-compatible: wrap in jax.jit (static self)."""
+        cfg = self.cfg
+        k_enc, k_xt, k_samp = jax.random.split(rng, 3)
+        frames_pm1 = frames_01 * 2.0 - 1.0
+
+        init_latent, enc_fea = self.encode(params, frames_pm1, k_enc)
+        context = self.embed_empty_prompt(params, frames_01.shape[0])
+        flows, masks = (
+            self.compute_flows(params, frames_01) if use_guidance else (None, None)
+        )
+        x_T = initial_latents(self.base_sched, init_latent, k_xt)
+
+        scfg = SamplerConfig(
+            num_frames=cfg.num_frames,
+            guidance_scale=cfg.guidance_scale,
+            guidance_mode=cfg.guidance_mode,
+        )
+        out = sample_video(
+            self.sched,
+            self.denoise_fn(params, init_latent, context),
+            x_T,
+            k_samp,
+            scfg,
+            flows,
+            masks,
+        )
+        decoded = self.decode(params, out.latents, enc_fea, dec_w)
+        fixed = apply_colorfix(decoded, frames_pm1, cfg.colorfix)
+        return jnp.clip((fixed + 1.0) / 2.0, 0.0, 1.0)
+
+
+def upscale_frames(frames_01: jnp.ndarray, sf: int = 4) -> jnp.ndarray:
+    """Bicubic pre-upscale of LQ frames to target size (reference:
+    F.interpolate bicubic, ddpm.py:3724-3730)."""
+    t, h, w, c = frames_01.shape
+    up = resize2d(frames_01, (h * sf, w * sf), method="bicubic")
+    return jnp.clip(up, 0.0, 1.0)
