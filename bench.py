@@ -1,0 +1,127 @@
+"""Benchmark: frames/sec/chip for the flagship restore path.
+
+Measures the north-star workload (BASELINE.json): x4 VSR @512px, 50 DDPM
+steps, 5-frame windows — the full motion-guided sampling loop (struct-cond
+encoder + dual-cond UNet + guidance grad per step) plus VAE encode/decode
+and RAFT flows, with random weights (identical FLOP/memory profile to
+trained weights).
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is measured fps divided by the reference A100 anchor
+(an estimated 0.25 frames/sec for the same workload — MGLD-VSR runs ~20s
+per 5-frame segment at 512px on A100-class GPUs; override with
+--baseline-fps when a driver-measured number exists).
+
+Usage: python bench.py [--tiny] [--steps N] [--size 512] [--baseline-fps X]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true", help="tiny config smoke run (CPU ok)")
+    ap.add_argument("--steps", type=int, default=None, help="DDPM steps")
+    ap.add_argument("--size", type=int, default=None, help="input (=output) px size")
+    ap.add_argument("--frames", type=int, default=5)
+    ap.add_argument("--iters", type=int, default=3, help="timed repetitions")
+    ap.add_argument("--baseline-fps", type=float, default=0.25)
+    args = ap.parse_args()
+
+    if args.tiny:
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if args.tiny:
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
+    from mgldvsr_tpu.flow.raft import RAFTConfig
+    from mgldvsr_tpu.infer.pipeline import MGLDVSRPipeline, PipelineConfig
+    from mgldvsr_tpu.models.cliptext import CLIPTextConfig
+    from mgldvsr_tpu.models.unet import StructCondConfig, UNetConfig
+    from mgldvsr_tpu.models.vae import VAEConfig
+
+    t = args.frames
+    if args.tiny:
+        size = args.size or 32
+        steps = args.steps or 2
+        cfg = PipelineConfig(
+            num_frames=t,
+            ddpm_steps=steps,
+            unet=UNetConfig(
+                model_channels=32, num_head_channels=16, context_dim=32,
+                semb_channels=32, channel_mult=(1, 2),
+                attention_resolutions=(1, 2), num_frames=t,
+            ),
+            structcond=StructCondConfig(
+                model_channels=32, out_channels=32, channel_mult=(1, 1),
+                attention_resolutions=(1, 2), num_frames=t,
+            ),
+            vae=VAEConfig(ch=32, ch_mult=(1, 1, 2, 2), num_res_blocks=1,
+                          num_frames=t, enable_fusion=True, num_fuse_block=1),
+            clip=CLIPTextConfig(width=32, heads=2, layers=2),
+            raft=RAFTConfig(iters=2),
+        )
+    else:
+        size = args.size or 512
+        steps = args.steps or 50
+        cfg = PipelineConfig(
+            num_frames=t,
+            ddpm_steps=steps,
+            unet=UNetConfig(num_frames=t, dtype=jnp.bfloat16),
+            structcond=StructCondConfig(num_frames=t, dtype=jnp.bfloat16),
+            vae=VAEConfig(num_frames=t, enable_fusion=True, dtype=jnp.bfloat16),
+            clip=CLIPTextConfig(dtype=jnp.bfloat16),
+            raft=RAFTConfig(iters=10),
+        )
+
+    pipe = MGLDVSRPipeline(cfg)
+    rng = jax.random.PRNGKey(0)
+    # init params via jitted init (fast on accelerator)
+    params = jax.jit(
+        lambda k: pipe.init_params(k, size, size)
+    )(rng)
+    frames = jax.random.uniform(jax.random.PRNGKey(1), (t, size, size, 3))
+
+    restore = jax.jit(lambda p, f, k: pipe.restore_segment(p, f, k))
+
+    # compile + warmup
+    out = jax.block_until_ready(restore(params, frames, jax.random.PRNGKey(2)))
+    assert np.isfinite(np.asarray(out[0, 0, 0])).all()
+
+    times = []
+    for i in range(args.iters):
+        k = jax.random.PRNGKey(3 + i)
+        t0 = time.perf_counter()
+        jax.block_until_ready(restore(params, frames, k))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    fps = t / best
+
+    print(
+        json.dumps(
+            {
+                "metric": f"frames/sec/chip x4 VSR @{size}px {steps}-step guided DDPM",
+                "value": round(fps, 4),
+                "unit": "frames/sec",
+                "vs_baseline": round(fps / args.baseline_fps, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""Device mesh + sharding rules: the TPU-native replacement for NCCL DDP.
+
+The reference trains data-parallel only (Lightning DDP over NCCL,
+/root/reference/main.py:537-548; basicsr dist_util). On TPU we instead build
+a ``jax.sharding.Mesh`` with ``('data', 'tensor')`` axes:
+
+- batch (frames/clips) shards over ``data`` — gradient psum rides ICI, the
+  XLA partitioner inserts it automatically for jit-compiled train steps;
+- large matmul weights optionally shard over ``tensor`` (megatron-style
+  column split of attention/FF kernels) — at MGLD's sizes this is mainly a
+  memory lever, XLA propagates the activation shardings.
+
+Inference scale-out matches the reference's embarrassingly parallel
+sequence sharding (scripts old.py:294-296) by mapping independent 5-frame
+windows onto the ``data`` axis.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    dp: Optional[int] = None,
+    tp: int = 1,
+    devices=None,
+) -> Mesh:
+    """Create a ('data', 'tensor') mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if dp is None:
+        dp = n // tp
+    assert dp * tp == n, f"dp({dp}) * tp({tp}) != devices({n})"
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, ("data", "tensor"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (frame/clip) axis over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _param_spec(path: tuple, leaf: Any, tp: int) -> P:
+    """Megatron-ish rule: shard the output dim of big kernels over 'tensor'.
+
+    Dense kernels are [in, out]; conv kernels [kh, kw, in, out]. Only shard
+    when the out dim divides evenly and is large enough to matter.
+    """
+    if tp <= 1 or not hasattr(leaf, "shape") or leaf.ndim < 2:
+        return P()
+    out_dim = leaf.shape[-1]
+    if out_dim % tp != 0 or out_dim < 256:
+        return P()
+    name = "/".join(str(p) for p in path).lower()
+    # never shard norm/embedding tables
+    if any(k in name for k in ("norm", "embedding", "logvar")):
+        return P()
+    return P(*([None] * (leaf.ndim - 1) + ["tensor"]))
+
+
+def shard_params(params, mesh: Mesh):
+    """Place a parameter pytree on the mesh according to the tensor rule."""
+    tp = mesh.shape["tensor"]
+
+    def place(path, leaf):
+        spec = _param_spec(tuple(str(k) for k in path), leaf, tp)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def shard_batch(batch, mesh: Mesh):
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

@@ -1,0 +1,132 @@
+"""Stage-1 trainer tests: param partitioning, loss decrease direction,
+frozen params untouched, EMA update, grad accumulation, mesh sharding."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from flax import traverse_util
+
+from tests.test_pipeline import tiny_config
+from mgldvsr_tpu.infer.pipeline import MGLDVSRPipeline
+from mgldvsr_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+from mgldvsr_tpu.train.trainer import (
+    Stage1Config,
+    Stage1Trainer,
+    merge_params,
+    partition_params,
+)
+
+
+def _jitter(params, key):
+    """Random init zero-inits output convs (identity residuals), which kills
+    all gradients; pretrained weights are never zero. Perturb for tests."""
+    leaves, tree = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(key, len(leaves))
+    out = [
+        l + 0.02 * jax.random.normal(k, l.shape, l.dtype)
+        if jnp.issubdtype(l.dtype, jnp.floating)
+        else l
+        for l, k in zip(leaves, keys)
+    ]
+    return jax.tree_util.tree_unflatten(tree, out)
+
+
+def _setup(grad_accum=1, h=32):
+    pipe = MGLDVSRPipeline(tiny_config(ddpm_steps=2))
+    params = pipe.init_params(jax.random.PRNGKey(0), h, h)
+    params = _jitter(params, jax.random.PRNGKey(99))
+    trainer = Stage1Trainer(pipe, Stage1Config(grad_accum=grad_accum))
+    return pipe, trainer, trainer.init_state(params), params
+
+
+def test_partition_params_selects_spade_temporal_structcond():
+    _, _, state, params = _setup()
+    flat_t = traverse_util.flatten_dict(state.trainable, sep="/")
+    flat_f = traverse_util.flatten_dict(state.frozen, sep="/")
+    # every structcond param is trainable
+    assert any(p.startswith("structcond") for p in flat_t)
+    assert not any(p.startswith("structcond") for p in flat_f)
+    # vae/clip/raft fully frozen
+    for tower in ("vae", "clip", "raft"):
+        assert not any(p.startswith(tower) for p in flat_t)
+        assert any(p.startswith(tower) for p in flat_f)
+    # unet spade params trainable, unet conv_in frozen
+    assert any(p.startswith("unet") and "spade" in p for p in flat_t)
+    assert any(p.startswith("unet") and "conv_in" in p for p in flat_f)
+    # round trip
+    merged = merge_params(state.trainable, state.frozen)
+    orig = traverse_util.flatten_dict(params, sep="/")
+    back = traverse_util.flatten_dict(merged, sep="/")
+    assert set(orig) == set(back)
+
+
+def test_train_step_updates_only_trainable():
+    _, trainer, state, _ = _setup()
+    bt = trainer.pipe.cfg.num_frames
+    lq = jnp.asarray(np.random.RandomState(0).rand(bt, 32, 32, 3), jnp.float32)
+    gt = jnp.asarray(np.random.RandomState(1).rand(bt, 32, 32, 3), jnp.float32)
+    new_state, metrics = jax.jit(trainer.train_step)(state, lq, gt, jax.random.PRNGKey(2))
+
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["grad_norm"]) > 0
+    assert int(new_state.step) == 1
+
+    # frozen leaves identical
+    f0 = traverse_util.flatten_dict(state.frozen, sep="/")
+    f1 = traverse_util.flatten_dict(new_state.frozen, sep="/")
+    for k in f0:
+        assert np.array_equal(np.asarray(f0[k]), np.asarray(f1[k]))
+
+    # some trainable leaf moved
+    t0 = traverse_util.flatten_dict(state.trainable, sep="/")
+    t1 = traverse_util.flatten_dict(new_state.trainable, sep="/")
+    moved = sum(
+        not np.array_equal(np.asarray(t0[k]), np.asarray(t1[k])) for k in t0
+    )
+    assert moved > 0
+
+    # EMA moved toward new params (warmup decay is small early on)
+    e1 = traverse_util.flatten_dict(new_state.ema, sep="/")
+    k = next(k for k in t0 if not np.array_equal(np.asarray(t0[k]), np.asarray(t1[k])))
+    assert not np.array_equal(np.asarray(e1[k]), np.asarray(t0[k]))
+
+
+def test_grad_accum_defers_updates():
+    _, trainer, state, _ = _setup(grad_accum=2)
+    bt = trainer.pipe.cfg.num_frames
+    lq = jnp.asarray(np.random.RandomState(0).rand(bt, 32, 32, 3), jnp.float32)
+    gt = jnp.asarray(np.random.RandomState(1).rand(bt, 32, 32, 3), jnp.float32)
+    t0 = traverse_util.flatten_dict(state.trainable, sep="/")
+
+    step = jax.jit(trainer.train_step)
+    s1, _ = step(state, lq, gt, jax.random.PRNGKey(2))
+    t1 = traverse_util.flatten_dict(s1.trainable, sep="/")
+    # first micro-step: no parameter change yet
+    assert all(np.array_equal(np.asarray(t0[k]), np.asarray(t1[k])) for k in t0)
+
+    s2, _ = step(s1, lq, gt, jax.random.PRNGKey(3))
+    t2 = traverse_util.flatten_dict(s2.trainable, sep="/")
+    assert any(
+        not np.array_equal(np.asarray(t1[k]), np.asarray(t2[k])) for k in t1
+    )
+
+
+def test_train_step_sharded_on_mesh():
+    pipe, trainer, state, _ = _setup()
+    mesh = make_mesh(8, tp=2)
+    t = pipe.cfg.num_frames
+    bt = 4 * t  # dp=4 clips
+    lq = jnp.asarray(np.random.RandomState(0).rand(bt, 32, 32, 3), jnp.float32)
+    gt = jnp.asarray(np.random.RandomState(1).rand(bt, 32, 32, 3), jnp.float32)
+    with mesh:
+        state = state._replace(
+            trainable=shard_params(state.trainable, mesh),
+            frozen=shard_params(state.frozen, mesh),
+        )
+        lq = jax.device_put(lq, NamedSharding(mesh, P("data")))
+        gt = jax.device_put(gt, NamedSharding(mesh, P("data")))
+        new_state, metrics = jax.jit(trainer.train_step)(
+            state, lq, gt, jax.random.PRNGKey(2)
+        )
+    assert np.isfinite(float(metrics["loss"]))
