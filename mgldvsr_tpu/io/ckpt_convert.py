@@ -1,0 +1,643 @@
+"""Torch-checkpoint → flax-pytree weight conversion.
+
+Converts the reference ecosystem's checkpoints into this framework's
+parameter trees (a required deliverable — SURVEY.md §5.4):
+
+- MGLD-VSR / SD 2.1 Lightning checkpoints: denoiser UNet
+  (``model.diffusion_model.*``), struct-cond encoder
+  (``structcond_stage_model.*``), first-stage VAE
+  (``first_stage_model.*``), OpenCLIP text tower
+  (``cond_stage_model.model.*``) — key layout per
+  /root/reference/ldm/modules/diffusionmodules/openaimodel.py,
+  ldm/modules/diffusionmodules/model.py, ldm/models/autoencoder.py
+  (checkpoint surgery :309-326, 1652-1672).
+- Video VAE checkpoints (``VideoAutoencoderKLResi``: encoder + VideoDecoder_Mix
+  with temporal_mixing + fusion_layer_{1,2}).
+- RAFT (raft-things.pth) and SpyNet flow checkpoints.
+
+Layout transforms: torch convs [O,I,kh,kw] → flax [kh,kw,I,O]; torch linears
+[O,I] → flax [I,O]; 3-D temporal convs [O,I,kt,1,1] → [kt,1,1,I,O]; the
+OpenAI legacy qkv attention interleaves heads ([H,3,d] channel blocks) and is
+permuted to this framework's [3,H,d] ordering.
+
+No torch dependency at conversion time beyond reading the pickle: tensors
+are converted via ``.numpy()`` if torch is available, else expected as numpy.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional, Sequence
+
+import numpy as np
+
+from flax import traverse_util
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+
+def _np(x) -> np.ndarray:
+    if isinstance(x, np.ndarray):
+        return x
+    # torch tensor (possibly bf16) without importing torch at module scope
+    try:
+        return x.detach().cpu().float().numpy()
+    except AttributeError:
+        return np.asarray(x)
+
+
+def conv_kernel(w) -> np.ndarray:
+    """[O,I,kh,kw] -> [kh,kw,I,O]; [O,I,kt,kh,kw] -> [kt,kh,kw,I,O]."""
+    w = _np(w)
+    if w.ndim == 4:
+        return w.transpose(2, 3, 1, 0)
+    if w.ndim == 5:
+        return w.transpose(2, 3, 4, 1, 0)
+    if w.ndim == 3:  # conv1d [O,I,k] -> [k,I,O]
+        return w.transpose(2, 1, 0)
+    raise ValueError(f"unexpected conv kernel ndim {w.ndim}")
+
+
+def linear_kernel(w) -> np.ndarray:
+    return _np(w).transpose(1, 0)
+
+
+class SDGet:
+    """Prefix-scoped accessor over a flat torch state dict that records
+    which keys were consumed (for unconverted-key reporting)."""
+
+    def __init__(self, sd: Mapping[str, Any], prefix: str = "",
+                 used: Optional[set] = None):
+        self.sd = sd
+        self.prefix = prefix
+        self.used = used if used is not None else set()
+
+    def scope(self, sub: str) -> "SDGet":
+        return SDGet(self.sd, f"{self.prefix}{sub}.", self.used)
+
+    def __contains__(self, key: str) -> bool:
+        return f"{self.prefix}{key}" in self.sd
+
+    def raw(self, key: str):
+        full = f"{self.prefix}{key}"
+        self.used.add(full)
+        return self.sd[full]
+
+    def conv(self, key: str) -> Dict[str, np.ndarray]:
+        out = {"kernel": conv_kernel(self.raw(f"{key}.weight"))}
+        if f"{key}.bias" in self:
+            out["bias"] = _np(self.raw(f"{key}.bias"))
+        return out
+
+    def linear(self, key: str) -> Dict[str, np.ndarray]:
+        out = {"kernel": linear_kernel(self.raw(f"{key}.weight"))}
+        if f"{key}.bias" in self:
+            out["bias"] = _np(self.raw(f"{key}.bias"))
+        return out
+
+    def norm(self, key: str) -> Dict[str, np.ndarray]:
+        return {
+            "scale": _np(self.raw(f"{key}.weight")),
+            "bias": _np(self.raw(f"{key}.bias")),
+        }
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+
+def _resblock(g: SDGet, dual: bool) -> Dict[str, Any]:
+    """ResBlock / ResBlockDual (openaimodel.py:233-360 / 362-482)."""
+    out: Dict[str, Any] = {
+        "GroupNorm_0": g.norm("in_layers.0"),
+        "conv1": g.conv("in_layers.2"),
+        "emb_proj": g.linear("emb_layers.1"),
+        "GroupNorm_1": g.norm("out_layers.0"),
+        "conv2": g.conv("out_layers.3"),
+    }
+    if "skip_connection.weight" in g:
+        out["skip"] = g.conv("skip_connection")
+    if dual:
+        s = g.scope("spade")
+        out["spade"] = {
+            "GroupNorm_0": s.norm("param_free_norm"),
+            "mlp_shared": s.conv("mlp_shared.0"),
+            "mlp_gamma": s.conv("mlp_gamma"),
+            "mlp_beta": s.conv("mlp_beta"),
+        }
+    return out
+
+
+def _cross_attn(g: SDGet) -> Dict[str, Any]:
+    return {
+        "to_q": g.linear("to_q"),
+        "to_k": g.linear("to_k"),
+        "to_v": g.linear("to_v"),
+        "to_out": g.linear("to_out.0"),
+    }
+
+
+def _transformer(g: SDGet, depth: int = 1) -> Dict[str, Any]:
+    """SpatialTransformer(V2) (attention.py:406-546)."""
+    out: Dict[str, Any] = {
+        "GroupNorm_0": g.norm("norm"),
+        "proj_in": g.linear("proj_in")
+        if g.raw("proj_in.weight").ndim == 2
+        else g.conv("proj_in"),
+        "proj_out": g.linear("proj_out")
+        if g.raw("proj_out.weight").ndim == 2
+        else g.conv("proj_out"),
+    }
+    for d in range(depth):
+        b = g.scope(f"transformer_blocks.{d}")
+        out[f"block_{d}"] = {
+            "norm1": b.norm("norm1"),
+            "norm2": b.norm("norm2"),
+            "norm3": b.norm("norm3"),
+            "attn1": _cross_attn(b.scope("attn1")),
+            "attn2": _cross_attn(b.scope("attn2")),
+            "ff": {
+                "proj_in": b.linear("ff.net.0.proj"),
+                "proj_out": b.linear("ff.net.2"),
+            },
+        }
+    return out
+
+
+def _stconv(g: SDGet) -> Dict[str, Any]:
+    return {
+        "temporal_conv": g.conv("temporal_conv"),
+        "alpha": _np(g.raw("temporal_alpha")).reshape(1),
+    }
+
+
+def _tattn(g: SDGet) -> Dict[str, Any]:
+    a = g.scope("temporal_attn")
+    return {
+        "norm": g.norm("norm"),
+        "to_q": a.linear("to_q"),
+        "to_k": a.linear("to_k"),
+        "to_v": a.linear("to_v"),
+        "to_out": a.linear("to_out.0"),
+        "alpha": _np(g.raw("temporal_alpha")).reshape(1),
+    }
+
+
+def _qkv_legacy(g: SDGet, channels: int, num_heads: int) -> Dict[str, Any]:
+    """OpenAI AttentionBlock with QKVAttentionLegacy head-interleaved qkv
+    conv1d — permute [H,3,d] channel blocks to [3,H,d] and convert to Dense."""
+    w = _np(g.raw("qkv.weight"))  # [3C, C, 1]
+    b = _np(g.raw("qkv.bias"))
+    d = channels // num_heads
+    w = w[..., 0].reshape(num_heads, 3, d, channels)
+    w = w.transpose(1, 0, 2, 3).reshape(3 * channels, channels)
+    b = b.reshape(num_heads, 3, d).transpose(1, 0, 2).reshape(3 * channels)
+    pw = _np(g.raw("proj_out.weight"))[..., 0]  # conv1d [C, C, 1]
+    return {
+        "GroupNorm_0": g.norm("norm"),
+        "qkv": {"kernel": w.transpose(1, 0), "bias": b},
+        "proj_out": {
+            "kernel": pw.transpose(1, 0),
+            "bias": _np(g.raw("proj_out.bias")),
+        },
+    }
+
+
+def _time_embed(g: SDGet) -> Dict[str, Any]:
+    return {"fc1": g.linear("0"), "fc2": g.linear("2")}
+
+
+# ---------------------------------------------------------------------------
+# UNet (InflatedUNetModelDualcondV2, openaimodel.py:1903-2313)
+# ---------------------------------------------------------------------------
+
+
+def convert_unet(
+    sd: Mapping[str, Any],
+    prefix: str = "model.diffusion_model.",
+    channel_mult: Sequence[int] = (1, 2, 4, 4),
+    num_res_blocks: int = 2,
+    attention_resolutions: Sequence[int] = (4, 2, 1),
+    transformer_depth: int = 1,
+    used: Optional[set] = None,
+) -> Dict[str, Any]:
+    g = SDGet(sd, prefix, used)
+    out: Dict[str, Any] = {
+        "time_embed": _time_embed(g.scope("time_embed")),
+        "conv_in": g.conv("input_blocks.0.0"),
+        "GroupNorm_0": g.norm("out.0"),
+        "conv_out": g.conv("out.2"),
+    }
+
+    idx = 1
+    ds = 1
+    for level in range(len(channel_mult)):
+        for nr in range(num_res_blocks):
+            blk = g.scope(f"input_blocks.{idx}")
+            out[f"in_{level}_{nr}_res"] = _resblock(blk.scope("0"), dual=True)
+            if ds in attention_resolutions:
+                out[f"in_{level}_{nr}_attn"] = _transformer(
+                    blk.scope("1"), transformer_depth
+                )
+            idx += 1
+        if level != len(channel_mult) - 1:
+            out[f"in_{level}_down"] = {
+                "op": g.conv(f"input_blocks.{idx}.0.op")
+            }
+            idx += 1
+            ds *= 2
+
+    mid = g.scope("middle_block")
+    out["mid_res1"] = _resblock(mid.scope("0"), dual=True)
+    out["mid_stconv1"] = _stconv(mid.scope("1"))
+    out["mid_attn"] = _transformer(mid.scope("2"), transformer_depth)
+    out["mid_tattn"] = _tattn(mid.scope("3"))
+    out["mid_res2"] = _resblock(mid.scope("4"), dual=True)
+    out["mid_stconv2"] = _stconv(mid.scope("5"))
+
+    idx = 0
+    for level in reversed(range(len(channel_mult))):
+        for i in range(num_res_blocks + 1):
+            blk = g.scope(f"output_blocks.{idx}")
+            out[f"out_{level}_{i}_res"] = _resblock(blk.scope("0"), dual=True)
+            sub = 1
+            if ds in attention_resolutions:
+                out[f"out_{level}_{i}_attn"] = _transformer(
+                    blk.scope(f"{sub}"), transformer_depth
+                )
+                sub += 1
+            if level and i == num_res_blocks:
+                out[f"out_{level}_up"] = {
+                    "conv": blk.conv(f"{sub}.conv")
+                }
+                ds //= 2
+            idx += 1
+    return {"params": out}
+
+
+# ---------------------------------------------------------------------------
+# Struct-cond encoder (InflatedEncoderUNetModelWT, openaimodel.py:2316-2525)
+# ---------------------------------------------------------------------------
+
+
+def convert_structcond(
+    sd: Mapping[str, Any],
+    prefix: str = "structcond_stage_model.",
+    channel_mult: Sequence[int] = (1, 1, 2, 2),
+    model_channels: int = 256,
+    num_res_blocks: int = 2,
+    attention_resolutions: Sequence[int] = (4, 2, 1),
+    num_heads: int = 4,
+    used: Optional[set] = None,
+) -> Dict[str, Any]:
+    g = SDGet(sd, prefix, used)
+    out: Dict[str, Any] = {
+        "time_embed": _time_embed(g.scope("time_embed")),
+        "conv_in": g.conv("input_blocks.0.0"),
+    }
+    idx = 1
+    ds = 1
+    for level, mult in enumerate(channel_mult):
+        ch = mult * model_channels
+        for nr in range(num_res_blocks):
+            blk = g.scope(f"input_blocks.{idx}")
+            out[f"in_{level}_{nr}_res"] = _resblock(blk.scope("0"), dual=False)
+            if ds in attention_resolutions:
+                out[f"in_{level}_{nr}_attn"] = _qkv_legacy(
+                    blk.scope("1"), ch, num_heads
+                )
+            idx += 1
+        if level != len(channel_mult) - 1:
+            out[f"in_{level}_down"] = {"op": g.conv(f"input_blocks.{idx}.0.op")}
+            idx += 1
+            ds *= 2
+
+    mid = g.scope("middle_block")
+    ch = channel_mult[-1] * model_channels
+    out["mid_res1"] = _resblock(mid.scope("0"), dual=False)
+    out["mid_attn"] = _qkv_legacy(mid.scope("1"), ch, num_heads)
+    out["mid_res2"] = _resblock(mid.scope("2"), dual=False)
+
+    n_feats = len(channel_mult)  # (levels-1) pre-downsample taps + middle
+    for i in range(n_feats):
+        out[f"fea_tran_{i}"] = _resblock(g.scope(f"fea_tran.{i}"), dual=False)
+    return {"params": out}
+
+
+# ---------------------------------------------------------------------------
+# VAE (model.py Encoder/Decoder/VideoDecoder_Mix, autoencoder.py)
+# ---------------------------------------------------------------------------
+
+
+def _vae_resnet(g: SDGet) -> Dict[str, Any]:
+    out = {
+        "GroupNorm_0": g.norm("norm1"),
+        "conv1": g.conv("conv1"),
+        "GroupNorm_1": g.norm("norm2"),
+        "conv2": g.conv("conv2"),
+    }
+    if "nin_shortcut.weight" in g:
+        out["nin_shortcut"] = g.conv("nin_shortcut")
+    return out
+
+
+def _vae_attn(g: SDGet) -> Dict[str, Any]:
+    return {
+        "GroupNorm_0": g.norm("norm"),
+        "q": g.conv("q"),
+        "k": g.conv("k"),
+        "v": g.conv("v"),
+        "proj_out": g.conv("proj_out"),
+    }
+
+
+def _simple_resblock(g: SDGet) -> Dict[str, Any]:
+    out = {
+        "GroupNorm_0": g.norm("norm1"),
+        "conv1": g.conv("conv1"),
+        "GroupNorm_1": g.norm("norm2"),
+        "conv2": g.conv("conv2"),
+    }
+    if "conv_out.weight" in g:
+        out["conv_out"] = g.conv("conv_out")
+    return out
+
+
+def _rdb(g: SDGet) -> Dict[str, Any]:
+    return {f"conv{i}": g.conv(f"conv{i}") for i in range(1, 6)}
+
+
+def convert_vae_encoder(
+    g: SDGet,
+    ch_mult: Sequence[int] = (1, 2, 4, 4),
+    num_res_blocks: int = 2,
+    attn_resolutions: Sequence[int] = (),
+    resolution: int = 512,
+) -> Dict[str, Any]:
+    out: Dict[str, Any] = {"conv_in": g.conv("conv_in")}
+    curr_res = resolution
+    for i in range(len(ch_mult)):
+        for j in range(num_res_blocks):
+            out[f"down_{i}_block_{j}"] = _vae_resnet(
+                g.scope(f"down.{i}.block.{j}")
+            )
+            if curr_res in attn_resolutions:
+                out[f"down_{i}_attn_{j}"] = _vae_attn(
+                    g.scope(f"down.{i}.attn.{j}")
+                )
+        if i != len(ch_mult) - 1:
+            out[f"down_{i}_downsample"] = {
+                "conv": g.conv(f"down.{i}.downsample.conv")
+            }
+            curr_res //= 2
+    out["mid_block_1"] = _vae_resnet(g.scope("mid.block_1"))
+    out["mid_attn_1"] = _vae_attn(g.scope("mid.attn_1"))
+    out["mid_block_2"] = _vae_resnet(g.scope("mid.block_2"))
+    out["GroupNorm_0"] = g.norm("norm_out")
+    out["conv_out"] = g.conv("conv_out")
+    return out
+
+
+def convert_vae_decoder(
+    g: SDGet,
+    ch_mult: Sequence[int] = (1, 2, 4, 4),
+    num_res_blocks: int = 2,
+    attn_resolutions: Sequence[int] = (),
+    resolution: int = 512,
+    video: bool = False,
+    fusion: bool = False,
+) -> Dict[str, Any]:
+    out: Dict[str, Any] = {"conv_in": g.conv("conv_in")}
+    out["mid_block_1"] = _vae_resnet(g.scope("mid.block_1"))
+    if video:
+        out["mid_temporal"] = _stconv(g.scope("temporal_mixing"))
+    out["mid_attn_1"] = _vae_attn(g.scope("mid.attn_1"))
+    out["mid_block_2"] = _vae_resnet(g.scope("mid.block_2"))
+    curr_res = resolution // 2 ** (len(ch_mult) - 1)
+    for i in reversed(range(len(ch_mult))):
+        for j in range(num_res_blocks + 1):
+            out[f"up_{i}_block_{j}"] = _vae_resnet(g.scope(f"up.{i}.block.{j}"))
+            if video:
+                out[f"up_{i}_temporal_{j}"] = _stconv(
+                    g.scope(f"up.{i}.temporal_mixing.{j}")
+                )
+            if curr_res in attn_resolutions:
+                out[f"up_{i}_attn_{j}"] = _vae_attn(g.scope(f"up.{i}.attn.{j}"))
+        if fusion and i in (1, 2):
+            f = g.scope(f"fusion_layer_{i}")
+            num_block = 0
+            while f"encode_enc_2.{num_block}.conv1.weight" in f:
+                num_block += 1
+            out[f"fusion_layer_{i}"] = {
+                "encode_enc_1": _simple_resblock(f.scope("encode_enc_1")),
+                "encode_enc_3": _simple_resblock(f.scope("encode_enc_3")),
+                **{
+                    f"encode_enc_2_{k}": _rdb(f.scope(f"encode_enc_2.{k}"))
+                    for k in range(num_block)
+                },
+            }
+        if i != 0:
+            out[f"up_{i}_upsample"] = {"conv": g.conv(f"up.{i}.upsample.conv")}
+            curr_res *= 2
+    return out
+
+
+def convert_autoencoder(
+    sd: Mapping[str, Any],
+    prefix: str = "first_stage_model.",
+    video: bool = False,
+    fusion: bool = False,
+    ch_mult: Sequence[int] = (1, 2, 4, 4),
+    num_res_blocks: int = 2,
+    attn_resolutions: Sequence[int] = (),
+    resolution: int = 512,
+    used: Optional[set] = None,
+) -> Dict[str, Any]:
+    """AutoencoderKL (image) or VideoAutoencoderKLResi (video+fusion).
+
+    Handles reference checkpoints whose keys carry the given prefix; the
+    reference itself strips/remaps prefixes non-strictly
+    (autoencoder.py:1652-1672)."""
+    g = SDGet(sd, prefix, used)
+    # fusion layers live on the VideoDecoder_Mix itself
+    params = {
+        "encoder": convert_vae_encoder(
+            g.scope("encoder"), ch_mult, num_res_blocks, attn_resolutions,
+            resolution,
+        ),
+        "decoder": convert_vae_decoder(
+            g.scope("decoder"), ch_mult, num_res_blocks, attn_resolutions,
+            resolution, video=video, fusion=fusion,
+        ),
+        "quant_conv": g.conv("quant_conv"),
+        "post_quant_conv": g.conv("post_quant_conv"),
+    }
+    return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# OpenCLIP text tower
+# ---------------------------------------------------------------------------
+
+
+def convert_openclip_text(
+    sd: Mapping[str, Any],
+    prefix: str = "cond_stage_model.model.",
+    layers: int = 24,
+    penultimate: bool = True,
+    used: Optional[set] = None,
+) -> Dict[str, Any]:
+    g = SDGet(sd, prefix, used)
+    out: Dict[str, Any] = {
+        "token_embedding": _np(g.raw("token_embedding.weight")),
+        "positional_embedding": _np(g.raw("positional_embedding")),
+        "ln_final": g.norm("ln_final"),
+    }
+    n_blocks = layers - (1 if penultimate else 0)
+    for i in range(n_blocks):
+        b = g.scope(f"transformer.resblocks.{i}")
+        out[f"resblock_{i}"] = {
+            "ln_1": b.norm("ln_1"),
+            "ln_2": b.norm("ln_2"),
+            "attn_in_proj": {
+                "kernel": linear_kernel(b.raw("attn.in_proj_weight")),
+                "bias": _np(b.raw("attn.in_proj_bias")),
+            },
+            "attn_out_proj": b.linear("attn.out_proj"),
+            "mlp_c_fc": b.linear("mlp.c_fc"),
+            "mlp_c_proj": b.linear("mlp.c_proj"),
+        }
+    return {"params": out}
+
+
+# ---------------------------------------------------------------------------
+# RAFT / SpyNet
+# ---------------------------------------------------------------------------
+
+
+def _raft_resblock(g: SDGet, batch_norm: bool) -> Dict[str, Any]:
+    out: Dict[str, Any] = {"conv1": g.conv("conv1"), "conv2": g.conv("conv2")}
+    if batch_norm:
+        out["norm1"] = _frozen_bn(g.scope("norm1"))
+        out["norm2"] = _frozen_bn(g.scope("norm2"))
+    if "downsample.0.weight" in g:
+        out["downsample"] = g.conv("downsample.0")
+        if batch_norm and "downsample.1.weight" in g:
+            out["norm3"] = _frozen_bn(g.scope("downsample.1"))
+    return out
+
+
+def _frozen_bn(g: SDGet) -> Dict[str, np.ndarray]:
+    return {
+        "scale": _np(g.raw("weight")),
+        "bias": _np(g.raw("bias")),
+        "mean": _np(g.raw("running_mean")),
+        "var": _np(g.raw("running_var")),
+    }
+
+
+def _raft_encoder(g: SDGet, batch_norm: bool) -> Dict[str, Any]:
+    out: Dict[str, Any] = {"conv1": g.conv("conv1"), "conv2": g.conv("conv2")}
+    if batch_norm:
+        out["norm1"] = _frozen_bn(g.scope("norm1"))
+    for layer in (1, 2, 3):
+        for blk in (0, 1):
+            out[f"layer{layer}_{blk}"] = _raft_resblock(
+                g.scope(f"layer{layer}.{blk}"), batch_norm
+            )
+    return out
+
+
+def convert_raft(sd: Mapping[str, Any], prefix: str = "",
+                 used: Optional[set] = None) -> Dict[str, Any]:
+    """raft-things.pth ('normal' RAFT: instance-norm fnet, batch-norm cnet)."""
+    g = SDGet(sd, prefix, used)
+    upd = g.scope("update_block")
+    params = {
+        "fnet": _raft_encoder(g.scope("fnet"), batch_norm=False),
+        "cnet": _raft_encoder(g.scope("cnet"), batch_norm=True),
+        "update_block": {
+            "encoder": {
+                "convc1": upd.conv("encoder.convc1"),
+                "convc2": upd.conv("encoder.convc2"),
+                "convf1": upd.conv("encoder.convf1"),
+                "convf2": upd.conv("encoder.convf2"),
+                "conv": upd.conv("encoder.conv"),
+            },
+            "gru": {
+                name: upd.conv(f"gru.{name}")
+                for name in ("convz1", "convr1", "convq1",
+                             "convz2", "convr2", "convq2")
+            },
+            "flow_head_conv1": upd.conv("flow_head.conv1"),
+            "flow_head_conv2": upd.conv("flow_head.conv2"),
+            "mask_conv1": upd.conv("mask.0"),
+            "mask_conv2": upd.conv("mask.2"),
+        },
+    }
+    return {"params": params}
+
+
+def convert_spynet(sd: Mapping[str, Any], prefix: str = "",
+                   used: Optional[set] = None) -> Dict[str, Any]:
+    """spynet_sintel_final ckpt ({'params': ...} wrapper handled by caller)."""
+    g = SDGet(sd, prefix, used)
+    params = {}
+    for i in range(6):
+        m = g.scope(f"basic_module.{i}.basic_module")
+        params[f"basic_module{i}"] = {
+            f"conv{j}": m.conv(f"{2 * j}") for j in range(5)
+        }
+    return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# top-level loaders
+# ---------------------------------------------------------------------------
+
+
+def load_torch_state_dict(path: str) -> Dict[str, Any]:
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("state_dict", "params", "params_ema", "model"):
+        if isinstance(obj, dict) and key in obj and isinstance(obj[key], dict):
+            obj = obj[key]
+            break
+    # strip DDP 'module.' prefixes (raft_arch.py:579-584)
+    return {
+        (k[7:] if k.startswith("module.") else k): v for k, v in obj.items()
+    }
+
+
+def convert_mgld_checkpoint(
+    sd: Mapping[str, Any],
+    report_unused: bool = False,
+) -> Dict[str, Any]:
+    """Full MGLD-VSR Lightning checkpoint -> pipeline param dict
+    {'unet', 'structcond', 'vae', 'clip'} (flow nets ship separately)."""
+    used: set = set()
+    out = {
+        "unet": convert_unet(sd, used=used),
+        "structcond": convert_structcond(sd, used=used),
+        "vae": convert_autoencoder(sd, used=used),
+        "clip": convert_openclip_text(sd, used=used),
+    }
+    if report_unused:
+        unused = sorted(set(sd) - used)
+        out["_unused_keys"] = unused
+    return out
+
+
+def to_jax(tree):
+    """numpy pytree -> jnp arrays."""
+    import jax.numpy as jnp
+
+    return traverse_util.unflatten_dict(
+        {
+            k: jnp.asarray(v)
+            for k, v in traverse_util.flatten_dict(tree).items()
+        }
+    )

@@ -66,7 +66,8 @@ class GEGLUFeedForward(nn.Module):
         inner = self.dim * self.mult
         h = nn.Dense(inner * 2, dtype=self.dtype, param_dtype=jnp.float32, name="proj_in")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        h = h * jax.nn.gelu(gate)
+        # exact (erf) gelu to match the torch GEGLU reference semantics
+        h = h * jax.nn.gelu(gate, approximate=False)
         return nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="proj_out")(h)
 
 
