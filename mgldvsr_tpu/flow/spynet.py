@@ -55,7 +55,9 @@ class SpyNet(nn.Module):
             supp_pyr.insert(0, nn.avg_pool(supp_pyr[0], (2, 2), strides=(2, 2)))
 
         h0, w0 = ref_pyr[0].shape[1:3]
-        flow = jnp.zeros((n, h0 // 2, w0 // 2, 2), dtype=jnp.float32)
+        # clamp to >=1 so tiny (test-size) inputs don't produce a 0-size init
+        flow = jnp.zeros((n, max(h0 // 2, 1), max(w0 // 2, 1), 2),
+                         dtype=jnp.float32)
         for level in range(self.levels):
             hl, wl = ref_pyr[level].shape[1:3]
             up = 2.0 * resize2d(flow, (hl, wl), method="bilinear",

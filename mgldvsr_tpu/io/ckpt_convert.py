@@ -513,6 +513,34 @@ def convert_openclip_text(
 
 
 # ---------------------------------------------------------------------------
+# LPIPS (taming vgg.pth: torchvision VGG16 'net.slice*' + 'lin*' heads)
+# ---------------------------------------------------------------------------
+
+# torchvision VGG16 'features' indices of the 13 convs, grouped by stage
+_VGG16_FEATURE_IDX = ((0, 2), (5, 7), (10, 12, 14), (17, 19, 21), (24, 26, 28))
+
+
+def convert_lpips(
+    sd: Mapping[str, Any], prefix: str = "", used: Optional[set] = None
+) -> Dict[str, Any]:
+    """taming-style LPIPS checkpoint: VGG16 convs under
+    ``net.slice{s}.{idx}`` (torchvision feature indices) and 1x1 heads under
+    ``lin{i}.model.1``."""
+    g = SDGet(sd, prefix, used)
+    vgg: Dict[str, Any] = {}
+    for stage, idxs in enumerate(_VGG16_FEATURE_IDX):
+        for j, idx in enumerate(idxs):
+            key = f"net.slice{stage + 1}.{idx}"
+            if f"{key}.weight" not in g:  # plain torchvision layout fallback
+                key = f"features.{idx}"
+            vgg[f"conv{stage + 1}_{j + 1}"] = g.conv(key)
+    params: Dict[str, Any] = {"vgg": vgg}
+    for i in range(5):
+        params[f"lin{i}"] = {"kernel": conv_kernel(g.raw(f"lin{i}.model.1.weight"))}
+    return {"params": params}
+
+
+# ---------------------------------------------------------------------------
 # RAFT / SpyNet
 # ---------------------------------------------------------------------------
 
