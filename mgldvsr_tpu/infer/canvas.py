@@ -1,0 +1,161 @@
+"""Arbitrary-resolution tiled inference.
+
+Two-level tiling, capability parity with
+/root/reference/scripts/vsr_val_ddpm_text_T_vqganfin_oldcanvas_tile.py and
+``p_mean_variance_canvas`` (/root/reference/ldm/models/diffusion/ddpm.py:
+4191-4322):
+
+1. pixel-space splitting of the pre-upscaled frames into overlapping
+   patches (ImageSpliter, 960/750 defaults), each restored independently and
+   gathered by overlap-averaging;
+2. latent-space canvas tiling *at the noise-prediction level*: per sampling
+   step, a 64-latent tile window (overlap 32) slides over the canvas, each
+   tile gets its own struct-cond features + UNet eps prediction, and tiles
+   are stitched with gaussian weights (ddpm.py:4601-4616) before a single
+   posterior update — one coherent trajectory per patch.
+
+TPU-first: the tile grid is static (computed from shapes at trace time), so
+the whole canvas step — all tiles, batched through the UNet in chunks —
+compiles into the same ``lax.scan`` sampling program used by the fixed-size
+path; only the ``denoise_fn`` differs.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def gaussian_tile_weights(tile_h: int, tile_w: int) -> np.ndarray:
+    """Gaussian stitching weights, reference semantics (var=0.01·size²;
+    note the reference's asymmetric midpoints: (w-1)/2 for x, h/2 for y)."""
+    var = 0.01
+    mid_x = (tile_w - 1) / 2
+    xs = np.exp(-((np.arange(tile_w) - mid_x) ** 2) / (tile_w * tile_w) / (2 * var)) / math.sqrt(2 * math.pi * var)
+    mid_y = tile_h / 2
+    ys = np.exp(-((np.arange(tile_h) - mid_y) ** 2) / (tile_h * tile_h) / (2 * var)) / math.sqrt(2 * math.pi * var)
+    return np.outer(ys, xs).astype(np.float32)
+
+
+def tile_offsets(size: int, tile: int, overlap: int) -> List[int]:
+    """Reference grid walk: ofs_r = r*(tile-overlap), last tile clamped to
+    the border (ddpm.py:4205-4232)."""
+    if size <= tile:
+        return [0]
+    stride = tile - overlap
+    n = 0
+    cur = 0
+    while cur < size:
+        cur = n * stride + tile
+        n += 1
+    offsets = [min(r * stride, size - tile) for r in range(n)]
+    # clamp duplicates at the border
+    seen, out = set(), []
+    for o in offsets:
+        if o not in seen:
+            seen.add(o)
+            out.append(o)
+    return out
+
+
+def make_tiled_denoise_fn(
+    structcond_apply: Callable,
+    unet_apply: Callable,
+    struct_latent: jnp.ndarray,
+    context: jnp.ndarray,
+    tile: int = 64,
+    overlap: int = 32,
+    batch_tiles: int = 4,
+) -> Callable:
+    """Build a denoise_fn whose eps prediction is the gaussian-stitched
+    combination of per-tile UNet evaluations — drop-in for
+    ``core.diffusion.sample_video``.
+
+    struct_latent: [(b t), H, W, 4] full-canvas LQ latent."""
+    bt, H, W, C = struct_latent.shape
+    oys = tile_offsets(H, tile, overlap)
+    oxs = tile_offsets(W, tile, overlap)
+    tiles = [(oy, ox) for oy in oys for ox in oxs]
+    w2d = jnp.asarray(gaussian_tile_weights(tile, tile))[None, :, :, None]
+
+    if len(tiles) == 1 and tiles[0] == (0, 0) and (H, W) == (tile, tile):
+        def simple_fn(x, t_orig):
+            s_cond = structcond_apply(struct_latent, t_orig)
+            return unet_apply(x, t_orig, context, s_cond)
+
+        return simple_fn
+
+    def fn(x, t_orig):
+        acc = jnp.zeros_like(x)
+        wacc = jnp.zeros((1, H, W, 1), dtype=x.dtype)
+        for chunk_start in range(0, len(tiles), batch_tiles):
+            chunk = tiles[chunk_start : chunk_start + batch_tiles]
+            xs = jnp.concatenate(
+                [x[:, oy : oy + tile, ox : ox + tile, :] for oy, ox in chunk], 0
+            )
+            ss = jnp.concatenate(
+                [
+                    struct_latent[:, oy : oy + tile, ox : ox + tile, :]
+                    for oy, ox in chunk
+                ],
+                0,
+            )
+            tt = jnp.tile(t_orig, (len(chunk),))
+            ctx = jnp.tile(context, (len(chunk), 1, 1))
+            s_cond = structcond_apply(ss, tt)
+            eps = unet_apply(xs, tt, ctx, s_cond)
+            for i, (oy, ox) in enumerate(chunk):
+                e = eps[i * bt : (i + 1) * bt]
+                acc = acc.at[:, oy : oy + tile, ox : ox + tile, :].add(e * w2d)
+                wacc = wacc.at[:, oy : oy + tile, ox : ox + tile, :].add(w2d)
+        return acc / wacc
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Pixel-space splitting (ImageSpliterTh counterpart,
+# /root/reference/scripts/util_image.py:686-769)
+# ---------------------------------------------------------------------------
+
+
+class ImageSpliter:
+    """Split [T,H,W,C] frames into overlapping fixed-size patches; gather by
+    overlap-averaging. Border patches are clamped to keep a single static
+    patch shape (jit-friendly: one compiled program serves all patches)."""
+
+    def __init__(self, shape: Tuple[int, ...], pch_size: int = 960,
+                 stride: int = 750):
+        t, h, w, c = shape
+        self.shape = shape
+        self.pch_size_h = min(pch_size, h)
+        self.pch_size_w = min(pch_size, w)
+        overlap_h = self.pch_size_h - min(stride, self.pch_size_h)
+        overlap_w = self.pch_size_w - min(stride, self.pch_size_w)
+        self.positions = [
+            (oy, ox)
+            for oy in tile_offsets(h, self.pch_size_h, overlap_h)
+            for ox in tile_offsets(w, self.pch_size_w, overlap_w)
+        ]
+
+    def split(self, frames: jnp.ndarray) -> List[Tuple[jnp.ndarray, Tuple[int, int]]]:
+        out = []
+        for oy, ox in self.positions:
+            out.append(
+                (frames[:, oy : oy + self.pch_size_h, ox : ox + self.pch_size_w, :],
+                 (oy, ox))
+            )
+        return out
+
+    def gather(self, patches: Sequence[np.ndarray]) -> np.ndarray:
+        t, h, w, c = self.shape
+        acc = np.zeros((t, h, w, c), dtype=np.float32)
+        cnt = np.zeros((1, h, w, 1), dtype=np.float32)
+        for patch, (oy, ox) in zip(patches, self.positions):
+            ph, pw = patch.shape[1:3]
+            acc[:, oy : oy + ph, ox : ox + pw, :] += np.asarray(patch)
+            cnt[:, oy : oy + ph, ox : ox + pw, :] += 1.0
+        return acc / cnt

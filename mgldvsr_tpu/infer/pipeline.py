@@ -196,6 +196,132 @@ class MGLDVSRPipeline:
         return jnp.clip((fixed + 1.0) / 2.0, 0.0, 1.0)
 
 
+    def restore_segment_canvas(
+        self,
+        params,
+        frames_01: jnp.ndarray,
+        rng: jax.Array,
+        tile: int = 64,
+        tile_overlap: int = 32,
+        batch_tiles: int = 4,
+        dec_w: Optional[float] = None,
+        use_guidance: bool = True,
+        return_latents: bool = False,
+    ):
+        """Arbitrary-size segment restore with latent canvas tiling: the eps
+        prediction per sampling step is a gaussian-stitched combination of
+        64-latent-tile UNet evaluations (one coherent trajectory; parity
+        with p_sample_loop_canvas, ddpm.py:4619-4693). Input size must be a
+        multiple of 32 (pad upstream)."""
+        from mgldvsr_tpu.infer.canvas import make_tiled_denoise_fn
+
+        cfg = self.cfg
+        k_enc, k_xt, k_samp = jax.random.split(rng, 3)
+        frames_pm1 = frames_01 * 2.0 - 1.0
+        init_latent, enc_fea = self.encode(params, frames_pm1, k_enc)
+        context = self.embed_empty_prompt(params, frames_01.shape[0])
+        flows, masks = (
+            self.compute_flows(params, frames_01) if use_guidance else (None, None)
+        )
+        x_T = initial_latents(self.base_sched, init_latent, k_xt)
+
+        denoise_fn = make_tiled_denoise_fn(
+            lambda s, t: self.structcond.apply(params["structcond"], s, t),
+            lambda x, t, c, sc: self.unet.apply(params["unet"], x, t, c, sc),
+            init_latent,
+            context,
+            tile=tile,
+            overlap=tile_overlap,
+            batch_tiles=batch_tiles,
+        )
+        scfg = SamplerConfig(
+            num_frames=cfg.num_frames,
+            guidance_scale=cfg.guidance_scale,
+            guidance_mode=cfg.guidance_mode,
+        )
+        out = sample_video(self.sched, denoise_fn, x_T, k_samp, scfg, flows, masks)
+        decoded = self.decode(params, out.latents, enc_fea, dec_w)
+        fixed = apply_colorfix(decoded, frames_pm1, cfg.colorfix)
+        result = jnp.clip((fixed + 1.0) / 2.0, 0.0, 1.0)
+        if return_latents:
+            return result, out.latents
+        return result
+
+    def restore_with_latents(self, params, frames_01, rng,
+                             dec_w: Optional[float] = None):
+        """w_latent path (scripts/vsr_val_ddpm_text_T_vqganfin_w_latent.py):
+        guidance off (guidance_scale=-1 ⇒ no flow correction), returns
+        (frames, latents) so latents can be dumped for stage-2 training."""
+        cfg = self.cfg
+        k_enc, k_xt, k_samp = jax.random.split(rng, 3)
+        frames_pm1 = frames_01 * 2.0 - 1.0
+        init_latent, enc_fea = self.encode(params, frames_pm1, k_enc)
+        context = self.embed_empty_prompt(params, frames_01.shape[0])
+        x_T = initial_latents(self.base_sched, init_latent, k_xt)
+        scfg = SamplerConfig(num_frames=cfg.num_frames)
+        out = sample_video(
+            self.sched,
+            self.denoise_fn(params, init_latent, context),
+            x_T,
+            k_samp,
+            scfg,
+        )
+        decoded = self.decode(params, out.latents, enc_fea, dec_w)
+        fixed = apply_colorfix(decoded, frames_pm1, cfg.colorfix)
+        return jnp.clip((fixed + 1.0) / 2.0, 0.0, 1.0), out.latents
+
+    def restore_video(
+        self,
+        params,
+        lq_frames_01: jnp.ndarray,
+        rng: jax.Array,
+        pch_size: int = 960,
+        pch_stride: int = 750,
+        min_side: int = 512,
+        dec_w: Optional[float] = None,
+        use_guidance: bool = True,
+    ):
+        """Full arbitrary-resolution protocol (oldcanvas_tile script):
+        bicubic pre-upscale by sf (and further so min side >= min_side),
+        pad to /32, pixel-split into overlapping patches, canvas-restore
+        each patch (re-seeded per patch for reproducibility, tile.py:428),
+        overlap-average gather, downscale to the x-sf target if the
+        pre-upscale overshot. Host-level orchestration; per-patch compute
+        is one jitted program."""
+        import numpy as np
+
+        from mgldvsr_tpu.infer.canvas import ImageSpliter
+
+        cfg = self.cfg
+        t, h0, w0, _ = lq_frames_01.shape
+        target_h, target_w = h0 * cfg.sf, w0 * cfg.sf
+        work_h, work_w = target_h, target_w
+        if min(work_h, work_w) < min_side:
+            s = min_side / min(work_h, work_w)
+            work_h, work_w = round(work_h * s), round(work_w * s)
+        pad_h = (-work_h) % 32
+        pad_w = (-work_w) % 32
+        frames = resize2d(lq_frames_01, (work_h + pad_h, work_w + pad_w),
+                          method="bicubic")
+        frames = jnp.clip(frames, 0.0, 1.0)
+
+        spliter = ImageSpliter(frames.shape, pch_size, pch_stride)
+        outs = []
+        for i, (patch, _) in enumerate(spliter.split(frames)):
+            k = jax.random.fold_in(rng, i)
+            out = self.restore_segment_canvas(
+                params, patch, k, dec_w=dec_w, use_guidance=use_guidance
+            )
+            outs.append(np.asarray(out))
+        full = spliter.gather(outs)
+        full = full[:, : work_h, : work_w, :]
+        if (work_h, work_w) != (target_h, target_w):
+            full = np.asarray(
+                resize2d(jnp.asarray(full), (target_h, target_w), method="bicubic")
+            )
+        return np.clip(full, 0.0, 1.0)
+
+
 def upscale_frames(frames_01: jnp.ndarray, sf: int = 4) -> jnp.ndarray:
     """Bicubic pre-upscale of LQ frames to target size (reference:
     F.interpolate bicubic, ddpm.py:3724-3730)."""
