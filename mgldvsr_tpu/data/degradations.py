@@ -1,0 +1,381 @@
+"""RealBasicVSR-style on-the-fly degradation transforms (host data path).
+
+Capability parity with the mmcv-style transforms driving stage-1 training
+(/root/reference/basicsr/data/mmcv_transforms/random_degradations.py:18-606
+and aug_pix.py / normalization.py): per-clip random degradation parameters
+with *temporally correlated* random-walk stepping across frames
+(``*_step``), two full stages of blur → resize → noise → jpeg → video
+compression, final resize + sinc, USM sharpening of the GT, clip and
+rescale.
+
+These run in numpy/cv2 on the host feed path — exactly where the reference
+runs them (DataLoader workers); the TPU never sees codec emulation.
+Video compression uses cv2.VideoWriter when a codec is available and
+degrades gracefully to identity otherwise (PyAV/FFmpeg are not in this
+image).
+
+Convention: clips are lists of float32 HWC arrays in [0, 1] (matching the
+reference pipeline layout before RescaleToZeroOne; blur/noise/jpeg operate
+in that range as the reference does).
+"""
+from __future__ import annotations
+
+import io
+import logging
+import os
+import tempfile
+from typing import Dict, List, Optional, Sequence
+
+import cv2
+import numpy as np
+
+from mgldvsr_tpu.data.blur_kernels import circular_lowpass_kernel, make_kernel
+
+logger = logging.getLogger(__name__)
+
+
+def _walk(rng: np.random.RandomState, value: float, step: float, lo: float,
+          hi: float) -> float:
+    """Random-walk a parameter within [lo, hi] (temporal correlation)."""
+    if step == 0:
+        return value
+    return float(np.clip(value + rng.uniform(-step, step), lo, hi))
+
+
+class RandomBlur:
+    """Per-frame blur with a randomly chosen kernel family whose parameters
+    random-walk across frames."""
+
+    def __init__(self, params: Dict, keys: Sequence[str] = ("lqs",)):
+        self.params = params
+        self.keys = keys
+
+    def get_kernels(self, rng: np.random.RandomState, num_frames: int
+                    ) -> List[np.ndarray]:
+        p = self.params
+        kernel_type = rng.choice(p["kernel_list"], p=p.get("kernel_prob"))
+        kernel_size = int(rng.choice(p["kernel_size"]))
+        sx_lo, sx_hi = p.get("sigma_x", [0.2, 3])
+        sy_lo, sy_hi = p.get("sigma_y", [0.2, 3])
+        ra_lo, ra_hi = p.get("rotate_angle", [-np.pi, np.pi])
+        bg_lo, bg_hi = p.get("beta_gaussian", [0.5, 4])
+        bp_lo, bp_hi = p.get("beta_plateau", [1, 2])
+        om_lo, om_hi = p.get("omega", [np.pi / 3, np.pi])
+        if kernel_size < 13:
+            om_lo = max(om_lo, np.pi / 3)
+
+        sigma_x = rng.uniform(sx_lo, sx_hi)
+        sigma_y = rng.uniform(sy_lo, sy_hi)
+        rotate = rng.uniform(ra_lo, ra_hi)
+        beta_g = rng.uniform(bg_lo, bg_hi)
+        beta_p = rng.uniform(bp_lo, bp_hi)
+        omega = rng.uniform(om_lo, om_hi)
+
+        kernels = []
+        for i in range(num_frames):
+            if i > 0:
+                sigma_x = _walk(rng, sigma_x, p.get("sigma_x_step", 0), sx_lo, sx_hi)
+                sigma_y = _walk(rng, sigma_y, p.get("sigma_y_step", 0), sy_lo, sy_hi)
+                rotate = _walk(rng, rotate, p.get("rotate_angle_step", 0), ra_lo, ra_hi)
+                beta_g = _walk(rng, beta_g, p.get("beta_gaussian_step", 0), bg_lo, bg_hi)
+                beta_p = _walk(rng, beta_p, p.get("beta_plateau_step", 0), bp_lo, bp_hi)
+                omega = _walk(rng, omega, p.get("omega_step", 0), om_lo, om_hi)
+            kernels.append(
+                make_kernel(kernel_type, kernel_size, sigma_x, sigma_y,
+                            rotate, beta_g, beta_p, omega)
+            )
+        return kernels
+
+    def __call__(self, results: Dict, rng: np.random.RandomState) -> Dict:
+        if np.random.RandomState(rng.randint(2**31)).uniform() > self.params.get("prob", 1.0):
+            return results
+        for key in self.keys:
+            frames = results[key]
+            kernels = self.get_kernels(rng, len(frames))
+            results[key] = [
+                cv2.filter2D(f, -1, k) for f, k in zip(frames, kernels)
+            ]
+        return results
+
+
+class RandomResize:
+    """Random up/down/keep rescale with per-frame scale stepping."""
+
+    _INTERP = {
+        "bilinear": cv2.INTER_LINEAR,
+        "bicubic": cv2.INTER_CUBIC,
+        "area": cv2.INTER_AREA,
+        "nearest": cv2.INTER_NEAREST,
+        "lanczos": cv2.INTER_LANCZOS4,
+    }
+
+    def __init__(self, params: Dict, keys: Sequence[str] = ("lqs",)):
+        self.params = params
+        self.keys = keys
+
+    def __call__(self, results: Dict, rng: np.random.RandomState) -> Dict:
+        p = self.params
+        interp = self._INTERP[rng.choice(p["resize_opt"], p=p.get("resize_prob"))]
+        if "target_size" in p:
+            target = tuple(p["target_size"])
+            for key in self.keys:
+                results[key] = [
+                    cv2.resize(f, (target[1], target[0]), interpolation=interp)
+                    for f in results[key]
+                ]
+            return results
+
+        mode = rng.choice(["up", "down", "keep"], p=p["resize_mode_prob"])
+        lo, hi = p["resize_scale"]
+        if mode == "up":
+            scale = rng.uniform(1, hi)
+        elif mode == "down":
+            scale = rng.uniform(lo, 1)
+        else:
+            scale = 1.0
+        step = p.get("resize_step", 0)
+        for key in self.keys:
+            frames = results[key]
+            h, w = frames[0].shape[:2]
+            out = []
+            s = scale
+            for i, f in enumerate(frames):
+                if i > 0:
+                    s = _walk(rng, s, step, lo, hi)
+                th, tw = int(h * s), int(w * s)
+                if p.get("is_size_even"):
+                    th, tw = th - th % 2, tw - tw % 2
+                th, tw = max(th, 1), max(tw, 1)
+                out.append(cv2.resize(f, (tw, th), interpolation=interp))
+            results[key] = out
+        return results
+
+
+class RandomNoise:
+    """Gaussian or Poisson noise, optionally gray (channel-shared), with
+    per-frame sigma/scale stepping."""
+
+    def __init__(self, params: Dict, keys: Sequence[str] = ("lqs",)):
+        self.params = params
+        self.keys = keys
+
+    def _gaussian(self, frames, rng):
+        p = self.params
+        lo, hi = p["gaussian_sigma"]
+        sigma = rng.uniform(lo / 255.0, hi / 255.0)
+        gray = rng.uniform() < p.get("gaussian_gray_noise_prob", 0)
+        step = p.get("gaussian_sigma_step", 0) / 255.0
+        out = []
+        for i, f in enumerate(frames):
+            if i > 0:
+                sigma = _walk(rng, sigma, step, lo / 255.0, hi / 255.0)
+            if gray:
+                n = rng.randn(*f.shape[:2], 1).astype(np.float32) * sigma
+            else:
+                n = rng.randn(*f.shape).astype(np.float32) * sigma
+            out.append(f + n)
+        return out
+
+    def _poisson(self, frames, rng):
+        p = self.params
+        lo, hi = p["poisson_scale"]
+        scale = rng.uniform(lo, hi)
+        gray = rng.uniform() < p.get("poisson_gray_noise_prob", 0)
+        step = p.get("poisson_scale_step", 0)
+        out = []
+        for i, f in enumerate(frames):
+            if i > 0:
+                scale = _walk(rng, scale, step, lo, hi)
+            img = np.clip(f, 0, 1)
+            if gray:
+                g = cv2.cvtColor(img.astype(np.float32), cv2.COLOR_BGR2GRAY)[..., None]
+                vals = len(np.unique(g))
+                vals = 2 ** np.ceil(np.log2(vals))
+                noise = rng.poisson(g * vals) / float(vals) - g
+            else:
+                vals = len(np.unique(img))
+                vals = 2 ** np.ceil(np.log2(max(vals, 2)))
+                noise = rng.poisson(img * vals) / float(vals) - img
+            out.append(f + noise.astype(np.float32) * scale)
+        return out
+
+    def __call__(self, results: Dict, rng: np.random.RandomState) -> Dict:
+        noise_type = rng.choice(
+            self.params["noise_type"], p=self.params.get("noise_prob")
+        )
+        for key in self.keys:
+            if noise_type == "gaussian":
+                results[key] = self._gaussian(results[key], rng)
+            else:
+                results[key] = self._poisson(results[key], rng)
+        return results
+
+
+class RandomJPEGCompression:
+    """cv2 JPEG round trip with quality random walk across frames."""
+
+    def __init__(self, params: Dict, keys: Sequence[str] = ("lqs",)):
+        self.params = params
+        self.keys = keys
+
+    def __call__(self, results: Dict, rng: np.random.RandomState) -> Dict:
+        lo, hi = self.params["quality"]
+        q = rng.uniform(lo, hi)
+        step = self.params.get("quality_step", 0)
+        for key in self.keys:
+            out = []
+            for i, f in enumerate(results[key]):
+                if i > 0:
+                    q = _walk(rng, q, step, lo, hi)
+                encode_params = [int(cv2.IMWRITE_JPEG_QUALITY), int(q)]
+                img = np.clip(f * 255.0, 0, 255).astype(np.uint8)
+                _, buf = cv2.imencode(".jpg", img, encode_params)
+                out.append(
+                    cv2.imdecode(buf, cv2.IMREAD_UNCHANGED).astype(np.float32)
+                    / 255.0
+                )
+            results[key] = out
+        return results
+
+
+def _video_codec_available() -> Optional[str]:
+    """Probe cv2.VideoWriter for a usable mp4 codec."""
+    for fourcc in ("mp4v", "avc1", "XVID"):
+        try:
+            path = tempfile.mktemp(suffix=".mp4" if fourcc != "XVID" else ".avi")
+            w = cv2.VideoWriter(
+                path, cv2.VideoWriter_fourcc(*fourcc), 25, (32, 32)
+            )
+            ok = w.isOpened()
+            w.release()
+            if os.path.exists(path):
+                os.remove(path)
+            if ok:
+                return fourcc
+        except Exception:
+            continue
+    return None
+
+
+_VIDEO_FOURCC = None
+_VIDEO_PROBED = False
+
+
+class RandomVideoCompression:
+    """Lossy video codec round trip (reference: PyAV h264/mpeg4 in-memory,
+    random_degradations.py:455-513). This image has no FFmpeg/PyAV, so we
+    use cv2.VideoWriter when a codec exists; if none does, the transform is
+    an identity with a one-time warning (capability gated)."""
+
+    def __init__(self, params: Dict, keys: Sequence[str] = ("lqs",)):
+        self.params = params
+        self.keys = keys
+
+    def __call__(self, results: Dict, rng: np.random.RandomState) -> Dict:
+        global _VIDEO_FOURCC, _VIDEO_PROBED
+        if not _VIDEO_PROBED:
+            _VIDEO_FOURCC = _video_codec_available()
+            _VIDEO_PROBED = True
+            if _VIDEO_FOURCC is None:
+                logger.warning(
+                    "no video codec available (no FFmpeg/PyAV); "
+                    "RandomVideoCompression is a no-op"
+                )
+        if _VIDEO_FOURCC is None:
+            return results
+        for key in self.keys:
+            frames = results[key]
+            h, w = frames[0].shape[:2]
+            suffix = ".avi" if _VIDEO_FOURCC == "XVID" else ".mp4"
+            path = tempfile.mktemp(suffix=suffix)
+            try:
+                writer = cv2.VideoWriter(
+                    path, cv2.VideoWriter_fourcc(*_VIDEO_FOURCC), 25, (w, h)
+                )
+                for f in frames:
+                    writer.write(
+                        np.clip(f * 255.0, 0, 255).astype(np.uint8)
+                    )
+                writer.release()
+                cap = cv2.VideoCapture(path)
+                out = []
+                for _ in frames:
+                    ok, img = cap.read()
+                    if not ok:
+                        break
+                    out.append(img.astype(np.float32) / 255.0)
+                cap.release()
+                if len(out) == len(frames):
+                    results[key] = out
+            finally:
+                if os.path.exists(path):
+                    os.remove(path)
+        return results
+
+
+class UnsharpMasking:
+    """USM sharpening with thresholded mask (aug_pix.py:536; reference
+    applies it to the GT clip)."""
+
+    def __init__(self, kernel_size: int = 51, sigma: float = 0,
+                 weight: float = 0.5, threshold: float = 10,
+                 keys: Sequence[str] = ("gts",)):
+        self.kernel_size = kernel_size
+        self.sigma = sigma
+        self.weight = weight
+        self.threshold = threshold
+        self.keys = keys
+
+    def _sharpen(self, img: np.ndarray) -> np.ndarray:
+        blur = cv2.GaussianBlur(img, (self.kernel_size, self.kernel_size),
+                                self.sigma)
+        residual = img - blur
+        mask = (np.abs(residual) * 255.0 > self.threshold).astype(np.float32)
+        soft_mask = cv2.GaussianBlur(mask, (self.kernel_size, self.kernel_size),
+                                     self.sigma)
+        sharp = np.clip(img + self.weight * residual, 0, 1)
+        return soft_mask * sharp + (1 - soft_mask) * img
+
+    def __call__(self, results: Dict, rng=None) -> Dict:
+        for key in self.keys:
+            results[key] = [self._sharpen(f) for f in results[key]]
+        return results
+
+
+class Clip:
+    def __init__(self, keys: Sequence[str] = ("lqs",), lo=0.0, hi=1.0):
+        self.keys = keys
+        self.lo, self.hi = lo, hi
+
+    def __call__(self, results: Dict, rng=None) -> Dict:
+        for key in self.keys:
+            results[key] = [np.clip(f, self.lo, self.hi) for f in results[key]]
+        return results
+
+
+class DegradationStage:
+    """One blur→resize→noise→jpeg→video-compression stage, with optional
+    final resize + sinc blur (stage 2)."""
+
+    def __init__(self, cfg: Dict):
+        self.transforms = []
+        order = (
+            ("random_blur", RandomBlur),
+            ("random_resize", RandomResize),
+            ("random_noise", RandomNoise),
+            ("random_jpeg", RandomJPEGCompression),
+            ("random_mpeg", RandomVideoCompression),
+            ("resize_final", RandomResize),
+            ("blur_final", RandomBlur),
+        )
+        for name, cls in order:
+            if name in cfg:
+                entry = cfg[name]
+                self.transforms.append(
+                    cls(entry["params"], entry.get("keys", ("lqs",)))
+                )
+
+    def __call__(self, results: Dict, rng: np.random.RandomState) -> Dict:
+        for t in self.transforms:
+            results = t(results, rng)
+        return results
