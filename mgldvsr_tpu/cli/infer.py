@@ -1,0 +1,167 @@
+"""Inference CLI — the counterpart of the reference's three vsr_val scripts
+(/root/reference/scripts/vsr_val_ddpm_text_T_vqganfin_{old,oldcanvas_tile,
+w_latent}.py) in one entry point:
+
+  python -m mgldvsr_tpu.cli.infer --seqs-path LQ_ROOT --out-path OUT \
+      [--params orbax_dir] [--mode fixed|tile|latent] [--ddpm-steps 50] \
+      [--dec-w 1.0] [--colorfix adain|wavelet|none] [--guidance -10] \
+      [--shard 0 --num-shards 1] [--seed 42]
+
+Sequence-level sharding matches the reference's multi-process protocol
+(seq_idx % num_shards == shard, scripts old.py:294-296) — run one process
+per chip/host. ``--mode latent`` additionally dumps per-frame latents as
+.npy for stage-2 training data (w_latent path).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+# persistent XLA compilation cache: repeated CLI runs skip recompiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/mgld_jax"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+import time
+
+
+def build_pipeline(args):
+    import jax.numpy as jnp
+
+    from mgldvsr_tpu.flow.raft import RAFTConfig
+    from mgldvsr_tpu.infer.pipeline import MGLDVSRPipeline, PipelineConfig
+    from mgldvsr_tpu.models.cliptext import CLIPTextConfig
+    from mgldvsr_tpu.models.unet import StructCondConfig, UNetConfig
+    from mgldvsr_tpu.models.vae import VAEConfig
+
+    dt = jnp.bfloat16 if args.bf16 else jnp.float32
+    cfg = PipelineConfig(
+        ddpm_steps=args.ddpm_steps,
+        guidance_scale=args.guidance,
+        dec_w=args.dec_w,
+        colorfix=args.colorfix,
+        unet=UNetConfig(dtype=dt),
+        structcond=StructCondConfig(dtype=dt),
+        vae=VAEConfig(num_frames=5, enable_fusion=True, dtype=dt),
+        clip=CLIPTextConfig(dtype=dt),
+        raft=RAFTConfig(),
+    )
+    return MGLDVSRPipeline(cfg)
+
+
+def load_or_init_params(pipe, args):
+    import jax
+
+    if args.params:
+        from mgldvsr_tpu.io.checkpoint import load_params
+
+        return load_params(args.params)
+    if args.torch_ckpt:
+        from mgldvsr_tpu.io.ckpt_convert import (
+            convert_mgld_checkpoint,
+            convert_raft,
+            load_torch_state_dict,
+            to_jax,
+        )
+
+        sd = load_torch_state_dict(args.torch_ckpt)
+        params = to_jax(convert_mgld_checkpoint(sd))
+        if args.raft_ckpt:
+            params["raft"] = to_jax(
+                convert_raft(load_torch_state_dict(args.raft_ckpt))
+            )
+        if args.vqgan_ckpt:
+            from mgldvsr_tpu.io.ckpt_convert import convert_autoencoder
+
+            vsd = load_torch_state_dict(args.vqgan_ckpt)
+            params["vae"] = to_jax(
+                convert_autoencoder(vsd, prefix="", video=True, fusion=True)
+            )
+        return params
+    print("WARNING: no checkpoint given — using random weights (smoke mode)")
+    return pipe.init_params(jax.random.PRNGKey(0), args.size, args.size)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--seqs-path", required=True)
+    ap.add_argument("--out-path", required=True)
+    ap.add_argument("--params", help="orbax params dir")
+    ap.add_argument("--torch-ckpt", help="MGLD/SD torch checkpoint")
+    ap.add_argument("--vqgan-ckpt", help="video VAE torch checkpoint")
+    ap.add_argument("--raft-ckpt", help="raft-things torch checkpoint")
+    ap.add_argument("--mode", choices=["fixed", "tile", "latent"],
+                    default="fixed")
+    ap.add_argument("--ddpm-steps", type=int, default=50)
+    ap.add_argument("--dec-w", type=float, default=1.0)
+    ap.add_argument("--guidance", type=float, default=-10.0)
+    ap.add_argument("--colorfix", default="adain",
+                    choices=["adain", "wavelet", "none"])
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--shard", type=int, default=0)
+    ap.add_argument("--num-shards", type=int, default=1)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--bf16", action="store_true", default=True)
+    ap.add_argument("--no-bf16", dest="bf16", action="store_false")
+    args = ap.parse_args(argv)
+
+    import cv2
+    import jax
+    import numpy as np
+
+    from mgldvsr_tpu.data.datasets import VideoFolderDataset
+    from mgldvsr_tpu.infer.pipeline import upscale_frames
+
+    pipe = build_pipeline(args)
+    params = load_or_init_params(pipe, args)
+    ds = VideoFolderDataset(args.seqs_path, num_frame=pipe.cfg.num_frames)
+
+    if args.mode == "fixed":
+        restore = jax.jit(
+            lambda p, f, k: pipe.restore_segment(p, f, k)
+        )
+    elif args.mode == "latent":
+        restore = jax.jit(
+            lambda p, f, k: pipe.restore_with_latents(p, f, k)
+        )
+
+    rng = jax.random.PRNGKey(args.seed)
+    for seq_idx in range(len(ds)):
+        if seq_idx % args.num_shards != args.shard:
+            continue
+        t0 = time.time()
+        n_frames = 0
+        for clip, names, frames in ds.segments(seq_idx):
+            outdir = os.path.join(args.out_path, clip)
+            os.makedirs(outdir, exist_ok=True)
+            key = jax.random.fold_in(rng, hash((clip, names[0])) % 2**31)
+            if args.mode == "tile":
+                out = pipe.restore_video(params, frames, key,
+                                         dec_w=args.dec_w)
+                latents = None
+            else:
+                up = upscale_frames(frames, pipe.cfg.sf)
+                result = restore(params, up, key)
+                if args.mode == "latent":
+                    out, latents = result
+                else:
+                    out, latents = result, None
+                out = np.asarray(out)
+            for i, name in enumerate(names):
+                img = (np.clip(out[i], 0, 1)[..., ::-1] * 255).round().astype(
+                    np.uint8
+                )
+                cv2.imwrite(os.path.join(outdir, name), img)
+                if latents is not None:
+                    np.save(
+                        os.path.join(outdir,
+                                     os.path.splitext(name)[0] + ".npy"),
+                        np.asarray(latents[i]),
+                    )
+            n_frames += len(names)
+        dt = time.time() - t0
+        print(f"[{seq_idx}] {ds.clips[seq_idx]}: {n_frames} frames in "
+              f"{dt:.1f}s ({n_frames / max(dt, 1e-9):.2f} fps)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

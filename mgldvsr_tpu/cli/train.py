@@ -1,0 +1,240 @@
+"""Training CLI — the counterpart of the reference's Lightning ``main.py``:
+
+  python -m mgldvsr_tpu.cli.train --stage 1 --data-root REDS_GT \
+      [--config cfg.yaml ...] [--logdir runs/exp] [--max-steps N] \
+      [--batch-clips 1] [--resume] [--tiny] [key.path=value ...]
+
+Stage 1 finetunes SPADE+temporal+structcond on degraded clips; stage 2
+finetunes the video-VAE fusion/temporal layers against dumped latents.
+Data parallelism: the flattened frame batch shards over the mesh's 'data'
+axis; gradient psums are inserted by the XLA partitioner (no DDP).
+SIGUSR1 checkpoints immediately; KeyboardInterrupt saves 'last'.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+# persistent XLA compilation cache: repeated CLI runs skip recompiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/mgld_jax"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+
+def default_degradation_cfg():
+    """The shipped stage-1 degradation recipe (SURVEY §2.7 defaults)."""
+    blur = dict(
+        kernel_size=[7, 9, 11, 13, 15, 17, 19, 21],
+        kernel_list=["iso", "aniso", "generalized_iso", "generalized_aniso",
+                     "plateau_iso", "plateau_aniso", "sinc"],
+        kernel_prob=[0.405, 0.225, 0.108, 0.027, 0.108, 0.027, 0.1],
+        sigma_x=[0.2, 3], sigma_y=[0.2, 3],
+        rotate_angle=[-3.1416, 3.1416],
+        beta_gaussian=[0.5, 4], beta_plateau=[1, 2],
+        sigma_x_step=0.02, sigma_y_step=0.02, rotate_angle_step=0.31416,
+        beta_gaussian_step=0.05, beta_plateau_step=0.1, omega_step=0.0628,
+    )
+    deg1 = dict(
+        random_blur=dict(params=blur),
+        random_resize=dict(params=dict(
+            resize_mode_prob=[0.2, 0.7, 0.1], resize_scale=[0.15, 1.5],
+            resize_opt=["bilinear", "area", "bicubic"],
+            resize_prob=[0.3333, 0.3333, 0.3334], resize_step=0.015,
+            is_size_even=True)),
+        random_noise=dict(params=dict(
+            noise_type=["gaussian", "poisson"], noise_prob=[0.5, 0.5],
+            gaussian_sigma=[1, 30], gaussian_gray_noise_prob=0.4,
+            poisson_scale=[0.05, 3], poisson_gray_noise_prob=0.4,
+            gaussian_sigma_step=0.1, poisson_scale_step=0.005)),
+        random_jpeg=dict(params=dict(quality=[30, 95], quality_step=3)),
+        random_mpeg=dict(params=dict(codec=["mp4v"], codec_prob=[1.0],
+                                     bitrate=[1e4, 1e5])),
+    )
+    blur2 = dict(blur, prob=0.8, sigma_x=[0.2, 1.5], sigma_y=[0.2, 1.5])
+    deg2 = dict(
+        random_blur=dict(params=blur2),
+        random_resize=dict(params=dict(
+            resize_mode_prob=[0.3, 0.4, 0.3], resize_scale=[0.3, 1.2],
+            resize_opt=["bilinear", "area", "bicubic"],
+            resize_prob=[0.3333, 0.3333, 0.3334], resize_step=0.03,
+            is_size_even=True)),
+        random_noise=dict(params=dict(
+            noise_type=["gaussian", "poisson"], noise_prob=[0.5, 0.5],
+            gaussian_sigma=[1, 25], gaussian_gray_noise_prob=0.4,
+            poisson_scale=[0.05, 2.5], poisson_gray_noise_prob=0.4,
+            gaussian_sigma_step=0.1, poisson_scale_step=0.005)),
+        random_jpeg=dict(params=dict(quality=[30, 95], quality_step=3)),
+        random_mpeg=dict(params=dict(codec=["mp4v"], codec_prob=[1.0],
+                                     bitrate=[1e4, 1e5])),
+        resize_final=dict(params=dict(
+            target_size=[128, 128], resize_opt=["bilinear", "area", "bicubic"],
+            resize_prob=[0.3333, 0.3333, 0.3334])),
+        blur_final=dict(params=dict(
+            prob=0.8, kernel_size=[7, 9, 11, 13, 15, 17, 19, 21],
+            kernel_list=["sinc"], kernel_prob=[1.0],
+            omega=[1.0472, 3.1416], omega_step=0.0628)),
+    )
+    return deg1, deg2
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--stage", type=int, choices=[1, 2], default=1)
+    ap.add_argument("--data-root", required=True)
+    ap.add_argument("--lq-root", help="stage 2: LQ frames root")
+    ap.add_argument("--latent-root", help="stage 2: dumped latents root")
+    ap.add_argument("--logdir", default="runs/default")
+    ap.add_argument("--max-steps", type=int, default=800_000)
+    ap.add_argument("--gt-size", type=int, default=512)
+    ap.add_argument("--num-frames", type=int, default=5)
+    ap.add_argument("--lr", type=float, default=5e-5)
+    ap.add_argument("--grad-accum", type=int, default=4)
+    ap.add_argument("--ckpt-every", type=int, default=3000)
+    ap.add_argument("--log-every", type=int, default=100)
+    ap.add_argument("--image-every", type=int, default=750)
+    ap.add_argument("--params", help="initial params (orbax dir)")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--seed", type=int, default=23)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny model configs (smoke/CI)")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mgldvsr_tpu.data.datasets import (
+        REDSAutoencoderDataset,
+        RealVSRRecurrentDataset,
+        ShardedSampler,
+        prefetch_iterator,
+    )
+    from mgldvsr_tpu.infer.pipeline import MGLDVSRPipeline, upscale_frames
+    from mgldvsr_tpu.io.checkpoint import CheckpointManager, install_signal_save
+    from mgldvsr_tpu.utils.logging import ImageLogger, MessageLogger, env_info
+
+    print(env_info(), flush=True)
+    os.makedirs(args.logdir, exist_ok=True)
+    msg = MessageLogger(args.max_steps,
+                        os.path.join(args.logdir, "metrics.jsonl"),
+                        args.log_every)
+    imglog = ImageLogger(args.logdir, args.image_every)
+    ckpt = CheckpointManager(os.path.join(args.logdir, "ckpt"),
+                             save_interval_steps=args.ckpt_every)
+
+    if args.tiny:
+        from tests.test_pipeline import tiny_config
+
+        pipe_cfg = tiny_config(num_frames=args.num_frames)
+        pipe = MGLDVSRPipeline(pipe_cfg)
+        gt_size = 32
+    else:
+        pipe = MGLDVSRPipeline()
+        gt_size = args.gt_size
+
+    if args.stage == 1:
+        from mgldvsr_tpu.train.trainer import Stage1Config, Stage1Trainer
+
+        deg1, deg2 = default_degradation_cfg()
+        if args.tiny:
+            # single stage, fixed LQ size (static shapes => one compile)
+            deg1 = dict(deg1, resize_final=dict(params=dict(
+                target_size=[gt_size // 4, gt_size // 4],
+                resize_opt=["bicubic"], resize_prob=[1.0])))
+            deg1.pop("random_mpeg", None)
+            deg2 = None
+        ds = RealVSRRecurrentDataset(
+            args.data_root, num_frame=args.num_frames, gt_size=gt_size,
+            degradation_1=deg1, degradation_2=deg2,
+            seed=args.seed,
+        )
+        trainer = Stage1Trainer(
+            pipe, Stage1Config(learning_rate=args.lr,
+                               grad_accum=args.grad_accum)
+        )
+        if args.params:
+            from mgldvsr_tpu.io.checkpoint import load_params
+
+            params = load_params(args.params)
+        else:
+            params = pipe.init_params(jax.random.PRNGKey(args.seed),
+                                      gt_size, gt_size)
+        state = trainer.init_state(params)
+        if args.resume and ckpt.latest_step() is not None:
+            state = ckpt.restore(template=state)
+            print(f"resumed at step {int(state.step)}", flush=True)
+
+        step_fn = jax.jit(trainer.train_step)
+        install_signal_save(lambda: (int(state.step), state), ckpt)
+
+        rng = jax.random.PRNGKey(args.seed)
+        sampler = ShardedSampler(len(ds), seed=args.seed)
+        step = int(state.step)
+        try:
+            epoch = 0
+            while step < args.max_steps:
+                for item in prefetch_iterator(ds, sampler.epoch(epoch)):
+                    lq = upscale_frames(jnp.asarray(item["lqs"]), pipe.cfg.sf)
+                    gt = jnp.asarray(item["gts"])
+                    rng, k = jax.random.split(rng)
+                    state, metrics = step_fn(state, lq, gt, k)
+                    step = int(state.step)
+                    msg(step, metrics, lr=args.lr)
+                    ckpt.save(step, state,
+                              metrics={k_: float(v) for k_, v in metrics.items()})
+                    if imglog.should_log(step):
+                        imglog.log_images(step, {
+                            "lq": np.asarray(lq), "gt": np.asarray(gt)})
+                    if step >= args.max_steps:
+                        break
+                epoch += 1
+        except KeyboardInterrupt:
+            ckpt.save(step, state, force=True)
+            print("interrupted — checkpoint saved", flush=True)
+        ckpt.wait()
+
+    else:  # stage 2
+        from mgldvsr_tpu.train.stage2 import Stage2Config, Stage2Trainer
+
+        ds = REDSAutoencoderDataset(
+            args.data_root, args.lq_root, args.latent_root,
+            num_frame=args.num_frames,
+        )
+        trainer = Stage2Trainer(
+            pipe.cfg.vae,
+            Stage2Config(learning_rate=args.lr, grad_accum=args.grad_accum,
+                         num_frames=args.num_frames),
+        )
+        state = trainer.init_state(jax.random.PRNGKey(args.seed),
+                                   gt_size, gt_size)
+        if args.resume and ckpt.latest_step() is not None:
+            state = ckpt.restore(template=state)
+
+        step_fn = jax.jit(trainer.train_step)
+        install_signal_save(lambda: (int(state.step), state), ckpt)
+        rng = jax.random.PRNGKey(args.seed)
+        sampler = ShardedSampler(len(ds), seed=args.seed)
+        step = int(state.step)
+        try:
+            epoch = 0
+            while step < args.max_steps:
+                for item in prefetch_iterator(ds, sampler.epoch(epoch)):
+                    lq = upscale_frames(jnp.asarray(item["lqs"]), 4)
+                    gt = jnp.asarray(item["gts"])
+                    lat = jnp.asarray(item["lts"])
+                    rng, k = jax.random.split(rng)
+                    state, metrics = step_fn(state, lq, gt, lat, k)
+                    step = int(state.step)
+                    msg(step, {k_: v for k_, v in metrics.items()
+                               if np.ndim(v) == 0}, lr=args.lr)
+                    ckpt.save(step, state)
+                    if step >= args.max_steps:
+                        break
+                epoch += 1
+        except KeyboardInterrupt:
+            ckpt.save(step, state, force=True)
+        ckpt.wait()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,103 @@
+"""Checkpointing: orbax-backed save/restore with auto-resume and
+signal-triggered snapshots.
+
+Capability parity with the reference's checkpoint machinery (SURVEY §5.3/5.4):
+- periodic + top-k checkpoints (Lightning ModelCheckpoint, main.py:589-610)
+  → orbax CheckpointManager with ``max_to_keep`` and ``best_fn``;
+- SIGUSR1 → immediate checkpoint ("melk", main.py:717-723) and
+  KeyboardInterrupt → last.ckpt (main.py:253-257) → ``install_signal_save``;
+- auto-resume scanning the latest state (basicsr/train.py:68-88) →
+  ``latest_step`` / ``restore``.
+"""
+from __future__ import annotations
+
+import os
+import signal
+from typing import Any, Callable, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Thin orbax wrapper storing arbitrary pytrees (TrainStates, params)."""
+
+    def __init__(
+        self,
+        directory: str,
+        max_to_keep: int = 20,
+        save_interval_steps: int = 1,
+        best_fn: Optional[Callable[[dict], float]] = None,
+        best_mode: str = "min",
+    ):
+        directory = os.path.abspath(directory)
+        os.makedirs(directory, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep,
+            save_interval_steps=save_interval_steps,
+            best_fn=best_fn,
+            best_mode=best_mode,
+            enable_async_checkpointing=True,
+        )
+        self._mgr = ocp.CheckpointManager(directory, options=options)
+
+    def save(self, step: int, state: Any, metrics: Optional[dict] = None,
+             force: bool = False) -> bool:
+        return self._mgr.save(
+            step,
+            args=ocp.args.StandardSave(state),
+            metrics=metrics,
+            force=force,
+        )
+
+    def restore(self, step: Optional[int] = None, template: Any = None) -> Any:
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            raise FileNotFoundError("no checkpoint found")
+        if template is not None:
+            return self._mgr.restore(
+                step, args=ocp.args.StandardRestore(template)
+            )
+        return self._mgr.restore(step)
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def best_step(self) -> Optional[int]:
+        return self._mgr.best_step()
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+    def close(self):
+        self._mgr.close()
+
+
+def install_signal_save(get_state: Callable[[], tuple], mgr: CheckpointManager):
+    """SIGUSR1 → immediate forced checkpoint of the current state (the
+    reference's 'melk' divine-intervention hook)."""
+
+    def handler(signum, frame):
+        step, state = get_state()
+        mgr.save(step, state, force=True)
+        mgr.wait()
+
+    signal.signal(signal.SIGUSR1, handler)
+    return handler
+
+
+def save_params(path: str, params: Any):
+    """One-shot param snapshot (no manager) — e.g. converted weights."""
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, params, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_params(path: str, template: Any = None) -> Any:
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    if template is not None:
+        return ckptr.restore(path, template)
+    return ckptr.restore(path)
