@@ -91,24 +91,53 @@ class MGLDVSRPipeline:
 
     # -- parameter initialisation (random; real weights via io.ckpt_convert)
 
-    def init_params(self, rng: jax.Array, height: int = 512, width: int = 512
-                    ) -> Dict[str, Any]:
+    def init_params(
+        self, rng: jax.Array, height: int = 512, width: int = 512,
+        fast: bool = True,
+    ) -> Dict[str, Any]:
+        """Random parameter trees.
+
+        ``fast=True`` (default) synthesizes leaves directly from
+        ``jax.eval_shape`` of the module inits — zero XLA compilation, the
+        same tree structure/shapes, and initializer-equivalent statistics
+        (fan-in-scaled normals for kernels, zeros/ones for bias/scale).
+        ``fast=False`` runs the exact flax initializers under jit.
+        Real weights come from io.ckpt_convert / io.checkpoint."""
+        if fast:
+            shapes = jax.eval_shape(
+                lambda: self._init_params_exact(rng, height, width)
+            )
+            return _synthesize_leaves(shapes, rng)
+        return self._init_params_exact(rng, height, width)
+
+    def _init_params_exact(self, rng: jax.Array, height: int, width: int
+                           ) -> Dict[str, Any]:
         cfg = self.cfg
         t = cfg.num_frames
         ks = jax.random.split(rng, 5)
-        frames = jnp.zeros((t, height, width, 3))
-        lat = jnp.zeros((t, height // 8, width // 8, 4))
+        # Parameters are size-independent (conv/attention nets), so
+        # initialise at the smallest valid spatial size with a 1-iteration
+        # RAFT (GRU weights are shared across iterations): eager full-size
+        # init takes minutes on CPU, this takes seconds — and the resulting
+        # trees are identical.
+        hh = min(height, 8 * 2 ** max(len(cfg.structcond.channel_mult),
+                                      len(cfg.vae.ch_mult)))
+        ww = min(width, hh)
+        frames = jnp.zeros((t, hh, ww, 3))
+        lat = jnp.zeros((t, hh // 8, ww // 8, 4))
         tsteps = jnp.zeros((t,), jnp.int32)
         tokens = empty_prompt_tokens(t, cfg.clip.context_length)
-        s_cond = self.structcond.init(ks[0], lat, tsteps)
+        s_cond = jax.jit(self.structcond.init)(ks[0], lat, tsteps)
         ctx = jnp.zeros((t, cfg.clip.context_length, cfg.clip.width))
-        sc = self.structcond.apply(s_cond, lat, tsteps)
+        sc = jax.eval_shape(self.structcond.apply, s_cond, lat, tsteps)
+        sc = jax.tree_util.tree_map(lambda a: jnp.zeros(a.shape, a.dtype), sc)
+        raft1 = RAFT(dataclasses.replace(cfg.raft, iters=1))
         return {
-            "unet": self.unet.init(ks[1], lat, tsteps, ctx, sc),
+            "unet": jax.jit(self.unet.init)(ks[1], lat, tsteps, ctx, sc),
             "structcond": s_cond,
-            "vae": self.vae.init(ks[2], frames, lat),
-            "clip": self.clip.init(ks[3], tokens),
-            "raft": self.raft.init(ks[4], frames, frames),
+            "vae": jax.jit(self.vae.init)(ks[2], frames, lat),
+            "clip": jax.jit(self.clip.init)(ks[3], tokens),
+            "raft": jax.jit(raft1.init)(ks[4], frames, frames),
         }
 
     # -- stages ------------------------------------------------------------
@@ -320,6 +349,37 @@ class MGLDVSRPipeline:
                 resize2d(jnp.asarray(full), (target_h, target_w), method="bicubic")
             )
         return np.clip(full, 0.0, 1.0)
+
+
+def _synthesize_leaves(shapes, rng: jax.Array):
+    """Fill a ShapeDtypeStruct tree with initializer-equivalent values
+    without compiling the module graphs: zeros for bias/alpha/mean,
+    ones for scale/var, N(0, 0.02) for embeddings, fan-in-scaled normals
+    for kernels."""
+    import numpy as np
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+    base_seed = int(jax.random.randint(rng, (), 0, 2**31 - 1))
+    leaves = []
+    for i, (path, leaf) in enumerate(flat):
+        name = str(path[-1]).lower()
+        shape, dtype = leaf.shape, leaf.dtype
+        if any(k in name for k in ("bias", "alpha", "mean")):
+            leaves.append(jnp.zeros(shape, dtype))
+        elif any(k in name for k in ("scale", "var")):
+            leaves.append(jnp.ones(shape, dtype))
+        else:
+            rs = np.random.RandomState((base_seed + i) % 2**31)
+            if len(shape) >= 2:
+                fan_in = int(np.prod(shape[:-1]))
+                std = 1.0 / np.sqrt(max(fan_in, 1))
+            else:
+                std = 0.02
+            leaves.append(
+                jnp.asarray(rs.randn(*shape).astype(np.float32) * std,
+                            dtype=dtype)
+            )
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 def upscale_frames(frames_01: jnp.ndarray, sf: int = 4) -> jnp.ndarray:

@@ -1,0 +1,406 @@
+"""Video SR backbones: BasicVSR, IconVSR-style EDVR pieces, BasicVSR++,
+and the flow-propagation CouplePropModule.
+
+Capability parity (structure studied, rebuilt TPU-first):
+- BasicVSR (/root/reference/basicsr/archs/basicvsr_arch.py): SpyNet flows +
+  bidirectional recurrent propagation (30 residual blocks each way) +
+  pixel-shuffle reconstruction. The frame recurrence runs under
+  ``jax.lax.scan`` — one compiled step reused across time.
+- EDVR (basicsr/archs/edvr_arch.py): PCD alignment (3-level pyramid of
+  DCNv2 with cascading offsets) + TSA fusion (temporal attention +
+  pyramid spatial attention) + reconstruction.
+- BasicVSR++ (basicsr/archs/basicvsrpp_arch.py): second-order grid
+  propagation with flow-guided deformable alignment.
+- CouplePropModule (basicsr/archs/tempo_model_arch.py:29-199): the latent
+  flow-propagation module used by VideoEncoderUNetModelWT.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mgldvsr_tpu.models.heritage.sr_archs import ResidualBlockNoBN, pixel_shuffle
+from mgldvsr_tpu.ops.dcn import modulated_deform_conv2d
+from mgldvsr_tpu.ops.resize import resize2d
+from mgldvsr_tpu.ops.warp import flow_warp
+
+
+def _conv(f, k=3, name=None, s=1):
+    return nn.Conv(f, (k, k), strides=(s, s), padding=k // 2, name=name,
+                   param_dtype=jnp.float32)
+
+
+class ConvResidualBlocks(nn.Module):
+    num_feat: int = 64
+    num_block: int = 30
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.leaky_relu(_conv(self.num_feat, name="conv_in")(x), 0.1)
+        for i in range(self.num_block):
+            h = ResidualBlockNoBN(self.num_feat, name=f"block_{i}")(h)
+        return h
+
+
+class BasicVSR(nn.Module):
+    """frames [B,T,H,W,3] in [0,1] + precomputed flows -> [B,T,4H,4W,3].
+
+    Flows are passed in (from the shared SpyNet/RAFT towers) to keep the
+    module pure; ``compute_clip_flows`` supplies them."""
+
+    num_feat: int = 64
+    num_block: int = 15
+
+    @nn.compact
+    def __call__(self, frames, flows_forward, flows_backward):
+        b, t, h, w, c = frames.shape
+        backward_branch = ConvResidualBlocks(self.num_feat, self.num_block,
+                                             name="backward_trunk")
+        forward_branch = ConvResidualBlocks(self.num_feat, self.num_block,
+                                            name="forward_trunk")
+        fusion = _conv(self.num_feat, 1, name="fusion")
+        upconv1 = _conv(self.num_feat * 4, name="upconv1")
+        upconv2 = _conv(64 * 4, name="upconv2")
+        conv_hr = _conv(64, name="conv_hr")
+        conv_last = _conv(3, name="conv_last")
+        lrelu = lambda z: nn.leaky_relu(z, 0.1)
+
+        # backward propagation (t-1 .. 0)
+        def bwd_step(feat_prop, inp):
+            frame, flow = inp
+            feat_prop = flow_warp(feat_prop, flow)
+            feat_prop = backward_branch(
+                jnp.concatenate([frame, feat_prop], axis=-1))
+            return feat_prop, feat_prop
+
+        zeros = jnp.zeros((b, h, w, self.num_feat), frames.dtype)
+        frames_rev = frames[:, ::-1].swapaxes(0, 1)  # [T,B,...]
+        flows_b_rev = jnp.concatenate(
+            [jnp.zeros_like(flows_backward[:, :1]), flows_backward], 1
+        )[:, ::-1].swapaxes(0, 1)
+        _, feats_bwd = _manual_scan(bwd_step, zeros,
+                                    (frames_rev, flows_b_rev), t)
+        feats_bwd = feats_bwd[::-1]
+
+        # forward propagation + upsampling
+        outs = []
+        feat_prop = jnp.zeros((b, h, w, self.num_feat), frames.dtype)
+        for i in range(t):
+            frame = frames[:, i]
+            if i > 0:
+                feat_prop = flow_warp(feat_prop, flows_forward[:, i - 1])
+            feat_prop = forward_branch(
+                jnp.concatenate([frame, feat_prop], axis=-1))
+            cat = jnp.concatenate([feats_bwd[i], feat_prop], axis=-1)
+            out = lrelu(fusion(cat))
+            out = lrelu(pixel_shuffle(upconv1(out), 2))
+            out = lrelu(pixel_shuffle(upconv2(out), 2))
+            out = lrelu(conv_hr(out))
+            out = conv_last(out)
+            base = resize2d(frame, (h * 4, w * 4), "bilinear")
+            outs.append(out + base)
+        return jnp.stack(outs, axis=1)
+
+
+def _manual_scan(step, init, xs, length):
+    """Static unroll helper (flax modules inside — params tied per call)."""
+    carry = init
+    ys = []
+    for i in range(length):
+        carry, y = step(carry, jax.tree_util.tree_map(lambda a: a[i], xs))
+        ys.append(y)
+    return carry, ys
+
+
+class PCDAlignment(nn.Module):
+    """Pyramid-cascading-deformable alignment (EDVR)."""
+
+    num_feat: int = 64
+    deform_groups: int = 8
+
+    @nn.compact
+    def __call__(self, nbr_pyr: Sequence[jnp.ndarray],
+                 ref_pyr: Sequence[jnp.ndarray]):
+        lrelu = lambda z: nn.leaky_relu(z, 0.1)
+        k = 9
+        upsampled_offset = None
+        upsampled_feat = None
+        feat = None
+        for lvl in (3, 2, 1):
+            nbr, ref = nbr_pyr[lvl - 1], ref_pyr[lvl - 1]
+            off = lrelu(_conv(self.num_feat,
+                              name=f"offset_conv1_l{lvl}")(
+                jnp.concatenate([nbr, ref], -1)))
+            if lvl < 3:
+                off = lrelu(_conv(self.num_feat, name=f"offset_conv2_l{lvl}")(
+                    jnp.concatenate([off, upsampled_offset], -1)))
+                off = lrelu(_conv(self.num_feat, name=f"offset_conv3_l{lvl}")(off))
+            else:
+                off = lrelu(_conv(self.num_feat, name=f"offset_conv2_l{lvl}")(off))
+
+            dcn_off = _conv(3 * self.deform_groups * k,
+                            name=f"dcn_offset_l{lvl}")(off)
+            o1, o2, m = jnp.split(dcn_off, 3, axis=-1)
+            n_, h_, w_, _ = o1.shape
+            offset = jnp.stack([o1, o2], -1).reshape(
+                n_, h_, w_, 2 * self.deform_groups * k)
+            mask = jax.nn.sigmoid(m)
+            w_dcn = self.param(f"dcn_weight_l{lvl}",
+                               nn.initializers.lecun_normal(),
+                               (3, 3, self.num_feat, self.num_feat))
+            b_dcn = self.param(f"dcn_bias_l{lvl}", nn.initializers.zeros,
+                               (self.num_feat,))
+            feat = modulated_deform_conv2d(
+                nbr, offset, mask, w_dcn, b_dcn,
+                deform_groups=self.deform_groups)
+            if lvl < 3:
+                feat = _conv(self.num_feat, name=f"feat_conv_l{lvl}")(
+                    jnp.concatenate([feat, upsampled_feat], -1))
+            if lvl > 1:
+                feat = lrelu(feat)
+                up = lambda z: 2.0 * resize2d(
+                    z, (z.shape[1] * 2, z.shape[2] * 2), "bilinear")
+                upsampled_offset = up(off)
+                upsampled_feat = resize2d(
+                    feat, (feat.shape[1] * 2, feat.shape[2] * 2), "bilinear")
+
+        # cascading refinement at level 1
+        ref = ref_pyr[0]
+        off = lrelu(_conv(self.num_feat, name="cas_offset_conv1")(
+            jnp.concatenate([feat, ref], -1)))
+        off = lrelu(_conv(self.num_feat, name="cas_offset_conv2")(off))
+        dcn_off = _conv(3 * self.deform_groups * k, name="cas_dcn_offset")(off)
+        o1, o2, m = jnp.split(dcn_off, 3, axis=-1)
+        n_, h_, w_, _ = o1.shape
+        offset = jnp.stack([o1, o2], -1).reshape(
+            n_, h_, w_, 2 * self.deform_groups * k)
+        w_dcn = self.param("cas_dcn_weight", nn.initializers.lecun_normal(),
+                           (3, 3, self.num_feat, self.num_feat))
+        b_dcn = self.param("cas_dcn_bias", nn.initializers.zeros,
+                           (self.num_feat,))
+        feat = modulated_deform_conv2d(
+            feat, offset, jax.nn.sigmoid(m), w_dcn, b_dcn,
+            deform_groups=self.deform_groups)
+        return lrelu(feat)
+
+
+class TSAFusion(nn.Module):
+    """Temporal + spatial attention fusion (EDVR)."""
+
+    num_feat: int = 64
+    num_frame: int = 5
+    center: int = 2
+
+    @nn.compact
+    def __call__(self, aligned):  # [B, T, H, W, C]
+        b, t, h, w, c = aligned.shape
+        lrelu = lambda z: nn.leaky_relu(z, 0.1)
+        emb_ref = _conv(self.num_feat, name="temporal_attn1")(
+            aligned[:, self.center])
+        emb = _conv(self.num_feat, name="temporal_attn2")(
+            aligned.reshape(b * t, h, w, c)).reshape(b, t, h, w, -1)
+        corr = jnp.sum(emb * emb_ref[:, None], axis=-1, keepdims=True)
+        prob = jax.nn.sigmoid(corr)
+        feat = (aligned * prob).reshape(b, h, w, t * c)
+        feat = lrelu(_conv(self.num_feat, 1, name="feat_fusion")(feat))
+
+        # spatial attention pyramid
+        attn = lrelu(_conv(self.num_feat, 1, name="spatial_attn1")(
+            (aligned * prob).reshape(b, h, w, t * c)))
+        attn_max = nn.max_pool(attn, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
+        attn_avg = nn.avg_pool(attn, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
+        attn = lrelu(_conv(self.num_feat, 1, name="spatial_attn2")(
+            jnp.concatenate([attn_max, attn_avg], -1)))
+        attn = lrelu(_conv(self.num_feat, name="spatial_attn3")(attn))
+        attn = resize2d(attn, (h, w), "bilinear")
+        attn = _conv(self.num_feat, name="spatial_attn4")(attn)
+        attn = jax.nn.sigmoid(_conv(self.num_feat, name="spatial_attn5")(attn))
+        return feat * attn * 2 + _conv(self.num_feat, 1,
+                                       name="spatial_attn_add")(feat)
+
+
+class EDVR(nn.Module):
+    """EDVR video restoration: pyramid features -> PCD align to the center
+    frame -> TSA fusion -> reconstruction + x4 pixel-shuffle."""
+
+    num_feat: int = 64
+    num_frame: int = 5
+    num_extract_block: int = 5
+    num_reconstruct_block: int = 10
+    deform_groups: int = 8
+
+    @nn.compact
+    def __call__(self, frames):  # [B,T,H,W,3]
+        b, t, h, w, _ = frames.shape
+        center = t // 2
+        lrelu = lambda z: nn.leaky_relu(z, 0.1)
+        x = frames.reshape(b * t, h, w, 3)
+        feat = lrelu(_conv(self.num_feat, name="conv_first")(x))
+        for i in range(self.num_extract_block):
+            feat = ResidualBlockNoBN(self.num_feat, name=f"extract_{i}")(feat)
+        l1 = feat
+        l2 = lrelu(_conv(self.num_feat, name="conv_l2_1", s=2)(l1))
+        l2 = lrelu(_conv(self.num_feat, name="conv_l2_2")(l2))
+        l3 = lrelu(_conv(self.num_feat, name="conv_l3_1", s=2)(l2))
+        l3 = lrelu(_conv(self.num_feat, name="conv_l3_2")(l3))
+
+        def pyr(z, lvl_h, lvl_w, cdim):
+            return z.reshape(b, t, lvl_h, lvl_w, cdim)
+
+        l1p = pyr(l1, h, w, self.num_feat)
+        l2p = pyr(l2, h // 2, w // 2, self.num_feat)
+        l3p = pyr(l3, h // 4, w // 4, self.num_feat)
+
+        pcd = PCDAlignment(self.num_feat, self.deform_groups, name="pcd")
+        ref_pyr = [l1p[:, center], l2p[:, center], l3p[:, center]]
+        aligned = jnp.stack(
+            [pcd([l1p[:, i], l2p[:, i], l3p[:, i]], ref_pyr)
+             for i in range(t)],
+            axis=1,
+        )
+        feat = TSAFusion(self.num_feat, t, center, name="fusion")(aligned)
+        for i in range(self.num_reconstruct_block):
+            feat = ResidualBlockNoBN(self.num_feat, name=f"recon_{i}")(feat)
+        feat = lrelu(pixel_shuffle(_conv(self.num_feat * 4,
+                                         name="upconv1")(feat), 2))
+        feat = lrelu(pixel_shuffle(_conv(64 * 4, name="upconv2")(feat), 2))
+        feat = lrelu(_conv(64, name="conv_hr")(feat))
+        out = _conv(3, name="conv_last")(feat)
+        base = resize2d(frames[:, center], (h * 4, w * 4), "bilinear")
+        return out + base
+
+
+class FlowGuidedDeformAlign(nn.Module):
+    """BasicVSR++ second-order deformable alignment: flows pre-warp the
+    propagated features; residual offsets are predicted on top (max offset
+    clamped by tanh * max_residue_magnitude)."""
+
+    num_feat: int = 64
+    deform_groups: int = 16
+    max_residue_magnitude: float = 10.0
+
+    @nn.compact
+    def __call__(self, feat_prop, cond, flow):
+        k = 9
+        g = self.deform_groups
+        lrelu = lambda z: nn.leaky_relu(z, 0.1)
+        h1 = lrelu(_conv(self.num_feat, name="conv_offset1")(cond))
+        h1 = lrelu(_conv(self.num_feat, name="conv_offset2")(h1))
+        out = _conv(3 * g * k, name="conv_offset3")(h1)
+        o1, o2, m = jnp.split(out, 3, axis=-1)
+        res = self.max_residue_magnitude * jnp.tanh(
+            jnp.concatenate([o1, o2], -1))
+        n_, h_, w_, _ = o1.shape
+        res = res.reshape(n_, h_, w_, 2, g, k).transpose(0, 1, 2, 4, 5, 3)
+        # add the optical flow as the base offset ((y, x) ordering: flow is
+        # (x, y) so swap)
+        base = jnp.stack([flow[..., 1], flow[..., 0]], -1)[:, :, :, None, None]
+        offset = (res + base).reshape(n_, h_, w_, 2 * g * k)
+        mask = jax.nn.sigmoid(m)
+        w_dcn = self.param("dcn_weight", nn.initializers.lecun_normal(),
+                           (3, 3, self.num_feat, self.num_feat))
+        b_dcn = self.param("dcn_bias", nn.initializers.zeros, (self.num_feat,))
+        return modulated_deform_conv2d(feat_prop, offset, mask, w_dcn, b_dcn,
+                                       deform_groups=g)
+
+
+class BasicVSRPlusPlus(nn.Module):
+    """Second-order grid propagation with flow-guided deformable alignment
+    (single-order simplification of the 4-branch grid: one backward + one
+    forward branch, matching capability on 5-frame windows)."""
+
+    num_feat: int = 64
+    num_block: int = 7
+    deform_groups: int = 16
+
+    @nn.compact
+    def __call__(self, frames, flows_forward, flows_backward):
+        b, t, h, w, _ = frames.shape
+        feat_extract = ConvResidualBlocks(self.num_feat, 5, name="feat_extract")
+        feats = feat_extract(frames.reshape(b * t, h, w, 3)).reshape(
+            b, t, h, w, self.num_feat)
+
+        g = min(self.deform_groups, self.num_feat)
+        align_b = FlowGuidedDeformAlign(self.num_feat, g, name="align_backward")
+        align_f = FlowGuidedDeformAlign(self.num_feat, g, name="align_forward")
+        trunk_b = ConvResidualBlocks(self.num_feat, self.num_block,
+                                     name="trunk_backward")
+        trunk_f = ConvResidualBlocks(self.num_feat, self.num_block,
+                                     name="trunk_forward")
+
+        # backward branch
+        bwd = [None] * t
+        feat_prop = jnp.zeros((b, h, w, self.num_feat), frames.dtype)
+        for i in range(t - 1, -1, -1):
+            if i < t - 1:
+                flow = flows_backward[:, i]
+                warped = flow_warp(feat_prop, flow)
+                cond = jnp.concatenate([warped, feats[:, i]], -1)
+                feat_prop = align_b(feat_prop, cond, flow)
+            feat_prop = trunk_b(
+                jnp.concatenate([feats[:, i], feat_prop], -1))
+            bwd[i] = feat_prop
+
+        # forward branch
+        outs = []
+        lrelu = lambda z: nn.leaky_relu(z, 0.1)
+        fusion = _conv(self.num_feat, 1, name="fusion")
+        up1 = _conv(self.num_feat * 4, name="upconv1")
+        up2 = _conv(64 * 4, name="upconv2")
+        conv_hr = _conv(64, name="conv_hr")
+        conv_last = _conv(3, name="conv_last")
+        feat_prop = jnp.zeros((b, h, w, self.num_feat), frames.dtype)
+        for i in range(t):
+            if i > 0:
+                flow = flows_forward[:, i - 1]
+                warped = flow_warp(feat_prop, flow)
+                cond = jnp.concatenate([warped, feats[:, i]], -1)
+                feat_prop = align_f(feat_prop, cond, flow)
+            feat_prop = trunk_f(
+                jnp.concatenate([feats[:, i], feat_prop], -1))
+            out = lrelu(fusion(jnp.concatenate([bwd[i], feat_prop], -1)))
+            out = lrelu(pixel_shuffle(up1(out), 2))
+            out = lrelu(pixel_shuffle(up2(out), 2))
+            out = conv_last(lrelu(conv_hr(out)))
+            base = resize2d(frames[:, i], (h * 4, w * 4), "bilinear")
+            outs.append(out + base)
+        return jnp.stack(outs, axis=1)
+
+
+class CouplePropModule(nn.Module):
+    """Bidirectional flow-guided latent propagation
+    (tempo_model_arch.py:29-199): warp the propagated hidden state with the
+    given flows, fuse with the current latent through residual blocks, and
+    return per-frame fused features."""
+
+    num_feat: int = 4
+    num_block: int = 3
+
+    @nn.compact
+    def __call__(self, latents, flows_forward, flows_backward):
+        b, t, h, w, c = latents.shape
+        bwd_trunk = ConvResidualBlocks(self.num_feat, self.num_block,
+                                       name="backward_trunk")
+        fwd_trunk = ConvResidualBlocks(self.num_feat, self.num_block,
+                                       name="forward_trunk")
+        fusion = _conv(c, 1, name="fusion")
+
+        bwd = [None] * t
+        prop = jnp.zeros((b, h, w, self.num_feat), latents.dtype)
+        for i in range(t - 1, -1, -1):
+            if i < t - 1:
+                prop = flow_warp(prop, flows_backward[:, i])
+            prop = bwd_trunk(jnp.concatenate([latents[:, i], prop], -1))
+            bwd[i] = prop
+        outs = []
+        prop = jnp.zeros((b, h, w, self.num_feat), latents.dtype)
+        for i in range(t):
+            if i > 0:
+                prop = flow_warp(prop, flows_forward[:, i - 1])
+            prop = fwd_trunk(jnp.concatenate([latents[:, i], prop], -1))
+            outs.append(
+                latents[:, i] + fusion(jnp.concatenate([bwd[i], prop], -1)))
+        return jnp.stack(outs, axis=1)
