@@ -118,3 +118,22 @@ def test_couple_prop_module():
     y = m.apply(p, lat, ff, fb)
     assert y.shape == lat.shape
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_swinir():
+    from mgldvsr_tpu.models.heritage.swinir import SwinIR, window_partition, window_reverse
+
+    x = _rand(1, 16, 16, 3, seed=8)
+    m = SwinIR(upscale=4, embed_dim=16, depths=(2,), num_heads=(2,),
+               window_size=8)
+    p = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(p, x)
+    assert y.shape == (1, 64, 64, 3)
+    assert np.isfinite(np.asarray(y)).all()
+
+    # window partition/reverse round trip
+    z = _rand(2, 16, 24, 5, seed=9)
+    assert np.allclose(
+        np.asarray(window_reverse(window_partition(z, 8), 8, 16, 24)),
+        np.asarray(z),
+    )
