@@ -90,10 +90,8 @@ def main():
 
     pipe = MGLDVSRPipeline(cfg)
     rng = jax.random.PRNGKey(0)
-    # init params via jitted init (fast on accelerator)
-    params = jax.jit(
-        lambda k: pipe.init_params(k, size, size)
-    )(rng)
+    # fast shape-based init (host-side; no XLA compile)
+    params = pipe.init_params(rng, size, size)
     frames = jax.random.uniform(jax.random.PRNGKey(1), (t, size, size, 3))
 
     restore = jax.jit(lambda p, f, k: pipe.restore_segment(p, f, k))
