@@ -1,0 +1,115 @@
+"""File IO backends for datasets.
+
+Capability parity with basicsr ``FileClient``
+(/root/reference/basicsr/utils/file_client.py:132-167: disk / lmdb /
+memcached) and ``LmdbMaker`` (lmdb_util.py:159). The lmdb backend is gated
+on the ``lmdb`` package (not in this image); its role — one big file with
+O(1) keyed reads instead of millions of small files — is covered by a
+self-contained **packed-record** backend (single data file + JSON index),
+which suits sequential TPU host feeding at least as well.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+
+class DiskBackend:
+    def get(self, filepath: str) -> bytes:
+        with open(filepath, "rb") as f:
+            return f.read()
+
+
+class LmdbBackend:
+    def __init__(self, db_path: str, readonly: bool = True, lock: bool = False):
+        try:
+            import lmdb
+        except ImportError as e:  # pragma: no cover
+            raise ImportError(
+                "lmdb backend requested but the lmdb package is not "
+                "installed; use 'disk' or 'packed'"
+            ) from e
+        self._env = lmdb.open(db_path, readonly=readonly, lock=lock,
+                              readahead=False)
+
+    def get(self, key: str) -> bytes:
+        with self._env.begin(write=False) as txn:
+            return bytes(txn.get(key.encode("ascii")))
+
+
+class PackedBackend:
+    """Keyed reads from a packed record file (``<root>.data`` +
+    ``<root>.index.json`` mapping key -> [offset, length])."""
+
+    def __init__(self, root: str):
+        with open(root + ".index.json") as f:
+            self._index: Dict[str, list] = json.load(f)
+        self._file = open(root + ".data", "rb")
+
+    def get(self, key: str) -> bytes:
+        off, length = self._index[key]
+        self._file.seek(off)
+        return self._file.read(length)
+
+    def keys(self):
+        return self._index.keys()
+
+    def close(self):
+        self._file.close()
+
+
+class PackedMaker:
+    """Build a packed record file (the LmdbMaker counterpart)."""
+
+    def __init__(self, root: str):
+        self._root = root
+        self._file = open(root + ".data", "wb")
+        self._index: Dict[str, list] = {}
+        self._off = 0
+
+    def put(self, key: str, data: bytes):
+        self._file.write(data)
+        self._index[key] = [self._off, len(data)]
+        self._off += len(data)
+
+    def close(self):
+        self._file.close()
+        with open(self._root + ".index.json", "w") as f:
+            json.dump(self._index, f)
+
+
+class FileClient:
+    """Backend dispatch: 'disk' (default), 'packed', 'lmdb'."""
+
+    def __init__(self, backend: str = "disk", **kwargs):
+        if backend == "disk":
+            self._b = DiskBackend()
+        elif backend == "packed":
+            self._b = PackedBackend(**kwargs)
+        elif backend == "lmdb":
+            self._b = LmdbBackend(**kwargs)
+        else:
+            raise ValueError(f"unknown io backend {backend!r}")
+        self.backend = backend
+
+    def get(self, key: str) -> bytes:
+        return self._b.get(key)
+
+
+def imfrombytes(content: bytes, flag: str = "color",
+                float32: bool = False) -> np.ndarray:
+    """Decode an image buffer (cv2 semantics: BGR HWC)."""
+    import cv2
+
+    flags = {
+        "color": cv2.IMREAD_COLOR,
+        "grayscale": cv2.IMREAD_GRAYSCALE,
+        "unchanged": cv2.IMREAD_UNCHANGED,
+    }[flag]
+    img = cv2.imdecode(np.frombuffer(content, np.uint8), flags)
+    if float32:
+        img = img.astype(np.float32) / 255.0
+    return img

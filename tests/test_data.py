@@ -242,3 +242,28 @@ def test_reds_autoencoder_dataset(tmp_path):
     item = ds[0]
     assert item["gts"].shape == (3, 32, 32, 3)
     assert item["lts"].shape == (3, 8, 8, 4)
+
+
+def test_file_client_disk_and_packed(tmp_path):
+    from mgldvsr_tpu.data.file_client import (
+        FileClient, PackedMaker, imfrombytes,
+    )
+
+    img = (np.random.RandomState(0).rand(16, 16, 3) * 255).astype(np.uint8)
+    p = tmp_path / "img.png"
+    cv2.imwrite(str(p), img)
+
+    fc = FileClient("disk")
+    decoded = imfrombytes(fc.get(str(p)))
+    assert decoded.shape == (16, 16, 3)
+    assert np.array_equal(decoded, img)
+
+    # packed backend round trip
+    root = str(tmp_path / "pack")
+    mk = PackedMaker(root)
+    mk.put("a", b"hello")
+    mk.put("b", open(str(p), "rb").read())
+    mk.close()
+    pc = FileClient("packed", root=root)
+    assert pc.get("a") == b"hello"
+    assert np.array_equal(imfrombytes(pc.get("b")), img)
