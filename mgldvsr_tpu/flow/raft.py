@@ -324,23 +324,39 @@ class RAFT(nn.Module):
         coords0 = jnp.broadcast_to(jnp.stack([gx, gy], -1), (n, h8, w8, 2))
 
         corr_planes = cfg.corr_levels * (2 * cfg.corr_radius + 1) ** 2
-        update = BasicUpdateBlock(corr_planes, cfg.hidden_dim, name="update_block")
 
-        def step(carry, _):
-            net, coords1 = carry
-            coords1 = jax.lax.stop_gradient(coords1)
-            corr = lookup_corr(pyramid, coords1, cfg.corr_radius)
-            flow = coords1 - coords0
-            net, mask, dflow = update(net, inp, corr, flow)
-            coords1 = coords1 + dflow
-            return (net, coords1), mask
+        # lax.scan over iterations via nn.scan: the GRU weights are shared,
+        # so the compiled program contains ONE update step instead of a
+        # 10x unroll — ~10x smaller XLA program, same math.
+        class _Step(nn.Module):
+            radius: int
+            hidden: int
+            planes: int
 
-        # flax-compatible scan over the module-applying step
-        carry = (net, coords0)
-        masks = None
-        for _ in range(cfg.iters):
-            carry, masks = step(carry, None)
-        net, coords1 = carry
+            @nn.compact
+            def __call__(self, carry, _):
+                net_c, coords1, inp_c, coords0_c, *pyr = carry
+                coords1 = jax.lax.stop_gradient(coords1)
+                corr = lookup_corr(pyr, coords1, self.radius)
+                flow = coords1 - coords0_c
+                net_c, mask, dflow = BasicUpdateBlock(
+                    self.planes, self.hidden, name="update_block"
+                )(net_c, inp_c, corr, flow)
+                coords1 = coords1 + dflow
+                return (net_c, coords1, inp_c, coords0_c, *pyr), mask
+
+        scan = nn.scan(
+            _Step,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            length=cfg.iters,
+        )
+        carry = (net, coords0, inp, coords0, *pyramid)
+        carry, masks_seq = scan(
+            cfg.corr_radius, cfg.hidden_dim, corr_planes, name="update_scan"
+        )(carry, None)
+        net, coords1 = carry[0], carry[1]
+        masks = masks_seq[-1]
 
         flow_up = convex_upsample_flow(coords1 - coords0, masks)
         # unpad

@@ -586,7 +586,10 @@ def convert_raft(sd: Mapping[str, Any], prefix: str = "",
     params = {
         "fnet": _raft_encoder(g.scope("fnet"), batch_norm=False),
         "cnet": _raft_encoder(g.scope("cnet"), batch_norm=True),
-        "update_block": {
+        # the update block lives under the nn.scan wrapper scope
+        "update_scan": {"update_block": None},
+    }
+    update_block = {
             "encoder": {
                 "convc1": upd.conv("encoder.convc1"),
                 "convc2": upd.conv("encoder.convc2"),
@@ -603,8 +606,8 @@ def convert_raft(sd: Mapping[str, Any], prefix: str = "",
             "flow_head_conv2": upd.conv("flow_head.conv2"),
             "mask_conv1": upd.conv("mask.0"),
             "mask_conv2": upd.conv("mask.2"),
-        },
     }
+    params["update_scan"]["update_block"] = update_block
     return {"params": params}
 
 

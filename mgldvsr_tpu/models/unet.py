@@ -55,6 +55,7 @@ class UNetConfig:
     num_frames: int = 5
     dropout: float = 0.0
     use_linear_in_transformer: bool = True
+    use_temporal: bool = True  # False => image-SR UNetModelDualcondV2
     dtype: Any = jnp.float32
 
 
@@ -133,14 +134,20 @@ class InflatedUNetDualCond(nn.Module):
                 ds *= 2
 
         # middle block: res -> st-conv -> transformer -> t-attn -> res -> st-conv
+        # (temporal modules only when use_temporal — image SR omits them,
+        # matching UNetModelDualcondV2, openaimodel.py:982)
         heads_mid = ch // cfg.num_head_channels
         h = res(ch, "mid_res1")(h, emb, struct_cond, deterministic=deterministic)
-        h = SpatialTemporalConv(cfg.num_frames, dt, name="mid_stconv1")(h)
+        if cfg.use_temporal:
+            h = SpatialTemporalConv(cfg.num_frames, dt, name="mid_stconv1")(h)
         h = transformer(ch, "mid_attn")(h, context)
-        h = TemporalAttention(cfg.num_frames, heads_mid, cfg.num_head_channels,
-                              dt, name="mid_tattn")(h)
+        if cfg.use_temporal:
+            h = TemporalAttention(cfg.num_frames, heads_mid,
+                                  cfg.num_head_channels, dt,
+                                  name="mid_tattn")(h)
         h = res(ch, "mid_res2")(h, emb, struct_cond, deterministic=deterministic)
-        h = SpatialTemporalConv(cfg.num_frames, dt, name="mid_stconv2")(h)
+        if cfg.use_temporal:
+            h = SpatialTemporalConv(cfg.num_frames, dt, name="mid_stconv2")(h)
 
         for level, mult in reversed(list(enumerate(cfg.channel_mult))):
             for i in range(cfg.num_res_blocks + 1):
