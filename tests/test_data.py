@@ -267,3 +267,25 @@ def test_file_client_disk_and_packed(tmp_path):
     pc = FileClient("packed", root=root)
     assert pc.get("a") == b"hello"
     assert np.array_equal(imfrombytes(pc.get("b")), img)
+
+
+def test_training_pair_queue():
+    from mgldvsr_tpu.data.pair_queue import TrainingPairQueue
+
+    q = TrainingPairQueue(queue_size=8, seed=0)
+    pushed = []
+    # warmup: returns inputs unchanged
+    for i in range(4):
+        lq = np.full((2, 4, 4, 3), i, np.float32)
+        gt = np.full((2, 8, 8, 3), i, np.float32)
+        out_lq, out_gt = q(lq, gt)
+        pushed.append(i)
+        assert np.array_equal(out_lq, lq)
+    # queue now full: returns shuffled old entries, keeps pairing intact
+    lq = np.full((2, 4, 4, 3), 99, np.float32)
+    gt = np.full((2, 8, 8, 3), 99, np.float32)
+    out_lq, out_gt = q(lq, gt)
+    assert out_lq.max() <= 3  # from the warmup pool
+    assert np.array_equal(out_lq[..., 0], out_lq[..., 1])
+    # lq/gt stay paired
+    assert np.array_equal(out_lq[:, 0, 0, 0], out_gt[:, 0, 0, 0])
