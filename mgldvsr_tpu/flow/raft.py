@@ -155,47 +155,49 @@ def lookup_corr(
     """Sample each pyramid level in a (2r+1)^2 window around ``coords``.
 
     coords: [B, H, W, 2] (x, y) in level-0 pixel units.
-    Returns [B, H, W, num_levels*(2r+1)^2]."""
+    Returns [B, H, W, num_levels*(2r+1)^2].
+
+    TPU note: the window around a center is CONTIGUOUS, so instead of
+    4*(2r+1)^2 elementwise gathers per pixel we take ONE (2r+2)^2 patch per
+    pixel via a vmapped ``dynamic_slice`` on a zero-padded map (a coalesced
+    block gather) and bilinearly blend the four shifted sub-patches. Centers
+    are clamped so far-out-of-range windows land entirely in the zero
+    padding — exactly the reference's zeros-outside semantics."""
     b, h, w, _ = coords.shape
     n = h * w
     r = radius
     win = 2 * r + 1
-    # window offsets, (dy, dx) ordering to match the reference's meshgrid
-    dy, dx = jnp.meshgrid(
-        jnp.linspace(-r, r, win), jnp.linspace(-r, r, win), indexing="ij"
-    )
-    delta = jnp.stack([dx, dy], axis=-1).reshape(1, 1, win * win, 2)
+    pad = 2 * r + 3
 
     out = []
     for lvl, corr in enumerate(pyramid):
         _, _, hl, wl = corr.shape
-        cf = corr.reshape(b, n, hl * wl)
-        ctr = coords.reshape(b, n, 1, 2) / (2**lvl)
-        pts = ctr + delta  # [B, N, win*win, 2]
-        px, py = pts[..., 0], pts[..., 1]
-        x0 = jnp.floor(px)
-        y0 = jnp.floor(py)
-        tx = (px - x0).astype(cf.dtype)
-        ty = (py - y0).astype(cf.dtype)
-        x0i = x0.astype(jnp.int32)
-        y0i = y0.astype(jnp.int32)
+        cp = jnp.pad(corr, ((0, 0), (0, 0), (pad, pad), (pad, pad)))
+        ctr = coords.reshape(b, n, 2) / (2**lvl)
+        cx, cy = ctr[..., 0], ctr[..., 1]
+        x0 = jnp.floor(cx)
+        y0 = jnp.floor(cy)
+        tx = (cx - x0).astype(corr.dtype)[..., None, None]
+        ty = (cy - y0).astype(corr.dtype)[..., None, None]
+        # clamp so the slice stays in-bounds; clamped (far-out) windows sit
+        # fully inside the zero padding => exact zeros
+        x0i = jnp.clip(x0.astype(jnp.int32), -r - 2, wl + r + 1)
+        y0i = jnp.clip(y0.astype(jnp.int32), -r - 2, hl + r + 1)
+        sx = x0i - r + pad
+        sy = y0i - r + pad
 
-        def corner(dyi, dxi):
-            ix = x0i + dxi
-            iy = y0i + dyi
-            inb = ((ix >= 0) & (ix <= wl - 1) & (iy >= 0) & (iy <= hl - 1))
-            idx = jnp.clip(iy, 0, hl - 1) * wl + jnp.clip(ix, 0, wl - 1)
-            v = jnp.take_along_axis(cf, idx.reshape(b, n, -1), axis=2)
-            v = v.reshape(b, n, win * win)
-            return v * inb.astype(cf.dtype)
+        def slice_one(cmap, yy, xx):
+            return jax.lax.dynamic_slice(
+                cmap, (yy, xx), (2 * r + 2, 2 * r + 2))
 
-        v00 = corner(0, 0)
-        v01 = corner(0, 1)
-        v10 = corner(1, 0)
-        v11 = corner(1, 1)
-        sampled = ((v00 * (1 - tx) + v01 * tx) * (1 - ty)
-                   + (v10 * (1 - tx) + v11 * tx) * ty)
-        out.append(sampled)
+        patch = jax.vmap(jax.vmap(slice_one))(cp, sy, sx)  # [B,N,2r+2,2r+2]
+        pa = patch[..., : win, : win]
+        pb = patch[..., : win, 1:]
+        pc = patch[..., 1:, : win]
+        pd = patch[..., 1:, 1:]
+        sampled = ((1 - ty) * (1 - tx) * pa + (1 - ty) * tx * pb
+                   + ty * (1 - tx) * pc + ty * tx * pd)
+        out.append(sampled.reshape(b, n, win * win))
     return jnp.concatenate(out, axis=-1).reshape(b, h, w, -1)
 
 

@@ -61,6 +61,11 @@ class PipelineConfig:
     guidance_mode: str = "reference"
     dec_w: float = 1.0
     colorfix: str = "adain"
+    # Resolution at which RAFT runs, relative to the working size. Guidance
+    # only consumes 1/8-res flows; the reference itself uses 1/4-res flows
+    # in its tiled script (oldcanvas_tile.py:396-401). 0.5 keeps flows
+    # well-resolved for the 1/8 latent while quartering RAFT's cost.
+    flow_scale: float = 0.5
     unet: UNetConfig = UNetConfig()
     structcond: StructCondConfig = StructCondConfig()
     vae: VAEConfig = dataclasses.field(
@@ -163,13 +168,24 @@ class MGLDVSRPipeline:
         return self.clip.apply(params["clip"], tokens)
 
     def compute_flows(self, params, frames_01: jnp.ndarray):
-        """frames [T,H,W,3] in [0,1] -> latent-res flows + occlusion masks."""
-        clip_frames = frames_01[None]
+        """frames [T,H,W,3] in [0,1] -> latent-res flows + occlusion masks.
+
+        RAFT runs at ``flow_scale`` of the working resolution (flows are
+        only consumed at 1/8 latent resolution)."""
+        fs = self.cfg.flow_scale
+        if fs != 1.0:
+            t, h, w, _ = frames_01.shape
+            small = resize2d(frames_01, (int(h * fs), int(w * fs)),
+                             method="bilinear")
+        else:
+            small = frames_01
+        clip_frames = small[None]
         ff, fb = compute_clip_flows(
             lambda a, b: self.raft.apply(params["raft"], a, b), clip_frames
         )
-        ff = flows_to_latent_res(ff, 0.125)
-        fb = flows_to_latent_res(fb, 0.125)
+        to_latent = 0.125 / fs
+        ff = flows_to_latent_res(ff, to_latent)
+        fb = flows_to_latent_res(fb, to_latent)
         fwd_occ, bwd_occ = compute_occlusion_masks(ff, fb)
         return (ff, fb), (fwd_occ, bwd_occ)
 
