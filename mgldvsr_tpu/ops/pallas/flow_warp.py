@@ -1,0 +1,99 @@
+"""Pallas TPU kernel: bilinear flow-warp as one-hot MXU matmuls.
+
+The motion-guidance inner op (SURVEY §2.9: the reference's grid_sample CUDA
+kernel). Scattered reads are gather-unit-bound on TPU, so this kernel
+reformulates bilinear sampling as a matmul: for one output row, build the
+4-corner bilinear weight matrix [W, H*W] in VMEM with ``broadcasted_iota``
+comparisons (VPU work) and contract it against the VMEM-resident flattened
+image [H*W, C] on the MXU — zero gathers.
+
+Grid: (N, H). Per program: the full image block (latent-res maps fit VMEM
+easily: 64x64x4 fp32 = 64 KB) + one flow row. Backward runs through the
+XLA reference implementation via custom_vjp (identical math).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _warp_row_kernel(img_ref, flow_ref, out_ref):
+    """img_ref: [1,H,W,C]; flow_ref: [1,1,W,2]; out_ref: [1,1,W,C]."""
+    _, h, w, c = img_ref.shape
+    row = pl.program_id(1)
+
+    flow = flow_ref[0, 0]  # [W, 2]
+    col = jax.lax.broadcasted_iota(jnp.float32, (w, 1), 0)[:, 0]
+    px = col + flow[:, 0].astype(jnp.float32)
+    py = jnp.float32(row) + flow[:, 1].astype(jnp.float32)
+
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    tx = px - x0
+    ty = py - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    hw = h * w
+    img_flat = img_ref[0].reshape(hw, c)
+    p_iota = jax.lax.broadcasted_iota(jnp.int32, (w, hw), 1)
+
+    def corner(dy, dx, wt):
+        xx = x0i + dx
+        yy = y0i + dy
+        valid = ((xx >= 0) & (xx <= w - 1) & (yy >= 0) & (yy <= h - 1))
+        idx = jnp.clip(yy, 0, h - 1) * w + jnp.clip(xx, 0, w - 1)
+        onehot = (p_iota == idx[:, None]).astype(jnp.float32)
+        return onehot * (wt * valid.astype(jnp.float32))[:, None]
+
+    weights = (
+        corner(0, 0, (1 - tx) * (1 - ty))
+        + corner(0, 1, tx * (1 - ty))
+        + corner(1, 0, (1 - tx) * ty)
+        + corner(1, 1, tx * ty)
+    )
+    out_ref[0, 0] = jnp.dot(
+        weights, img_flat.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).astype(out_ref.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def pallas_flow_warp(x: jnp.ndarray, flow: jnp.ndarray,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Bilinear backward-warp (zeros padding, align_corners=True semantics),
+    Pallas forward + XLA backward. x: [N,H,W,C]; flow: [N,H,W,2]."""
+    n, h, w, c = x.shape
+    return pl.pallas_call(
+        _warp_row_kernel,
+        grid=(n, h),
+        in_specs=[
+            pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, w, 2), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, w, c), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, c), x.dtype),
+        interpret=interpret,
+    )(x, flow)
+
+
+def _fwd(x, flow, interpret):
+    return pallas_flow_warp(x, flow, interpret), (x, flow)
+
+
+def _bwd(interpret, res, g):
+    from mgldvsr_tpu.ops.warp import flow_warp
+
+    x, flow = res
+    _, vjp = jax.vjp(lambda xx, ff: flow_warp(xx, ff), x, flow)
+    return vjp(g)
+
+
+pallas_flow_warp.defvjp(_fwd, _bwd)

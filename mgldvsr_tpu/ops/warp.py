@@ -62,22 +62,45 @@ def flow_warp(
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    def corner(dy, dx):
-        ix = x0i + dx
-        iy = y0i + dy
-        v = _gather2d(x, iy, ix)
-        if padding_mode == "zeros":
-            inb = (ix >= 0) & (ix <= w - 1) & (iy >= 0) & (iy <= h - 1)
-            v = v * inb[..., None].astype(x.dtype)
-        return v
+    if padding_mode == "border":
+        # clamp the integer base so both taps read valid (border) texels
+        x0b = jnp.clip(x0i, 0, w - 1)
+        x1b = jnp.clip(x0i + 1, 0, w - 1)
+        y0b = jnp.clip(y0i, 0, h - 1)
+        y1b = jnp.clip(y0i + 1, 0, h - 1)
+        v00 = _gather2d(x, y0b, x0b)
+        v01 = _gather2d(x, y0b, x1b)
+        v10 = _gather2d(x, y1b, x0b)
+        v11 = _gather2d(x, y1b, x1b)
+        # border mode also clamps the blend weights implicitly via clamped
+        # sample positions; torch additionally clamps the continuous coords
+        txc = jnp.clip(px, 0, w - 1)
+        tyc = jnp.clip(py, 0, h - 1)
+        tx = (txc - jnp.floor(txc))[..., None].astype(x.dtype)
+        ty = (tyc - jnp.floor(tyc))[..., None].astype(x.dtype)
+        top = v00 * (1 - tx) + v01 * tx
+        bot = v10 * (1 - tx) + v11 * tx
+        out = top * (1 - ty) + bot * ty
+    else:
+        # zeros padding: ONE (2,2,C) block slice per pixel on a padded map
+        # (coalesced) instead of four elementwise gathers; clamped far-out
+        # centers land entirely inside the zero padding (exact semantics).
+        pad = 2
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        x0c = jnp.clip(x0i, -2, w + 1) + pad
+        y0c = jnp.clip(y0i, -2, h + 1) + pad
 
-    v00 = corner(0, 0)
-    v01 = corner(0, 1)
-    v10 = corner(1, 0)
-    v11 = corner(1, 1)
-    top = v00 * (1 - tx) + v01 * tx
-    bot = v10 * (1 - tx) + v11 * tx
-    out = top * (1 - ty) + bot * ty
+        def slice_one(img, yy, xx):
+            return jax.lax.dynamic_slice(img, (yy, xx, 0), (2, 2, c))
+
+        flat_y = y0c.reshape(n, h * w)
+        flat_x = x0c.reshape(n, h * w)
+        patch = jax.vmap(jax.vmap(slice_one, in_axes=(None, 0, 0)))(
+            xp, flat_y, flat_x
+        ).reshape(n, h, w, 2, 2, c)
+        top = patch[..., 0, 0, :] * (1 - tx) + patch[..., 0, 1, :] * tx
+        bot = patch[..., 1, 0, :] * (1 - tx) + patch[..., 1, 1, :] * tx
+        out = top * (1 - ty) + bot * ty
 
     if return_mask:
         # Bilinearly-sampled ones-image thresholded at ~1 (only fully interior

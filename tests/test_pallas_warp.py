@@ -1,0 +1,37 @@
+"""Pallas flow-warp kernel vs the XLA reference implementation
+(interpret mode on CPU; compiled path exercised on TPU separately)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mgldvsr_tpu.ops.pallas.flow_warp import pallas_flow_warp
+from mgldvsr_tpu.ops.warp import flow_warp
+
+
+def test_pallas_warp_matches_xla_reference():
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(2, 8, 16, 4).astype(np.float32))
+    flow = jnp.asarray((rs.randn(2, 8, 16, 2) * 3).astype(np.float32))
+    ref = flow_warp(x, flow)
+    out = pallas_flow_warp(x, flow, True)  # interpret mode
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-5), (
+        np.abs(np.asarray(out) - np.asarray(ref)).max()
+    )
+
+
+def test_pallas_warp_gradient_matches():
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(1, 8, 8, 2).astype(np.float32))
+    flow = jnp.asarray((rs.randn(1, 8, 8, 2)).astype(np.float32))
+
+    g_ref = jax.grad(lambda a: jnp.abs(flow_warp(a, flow)).sum())(x)
+    g_pal = jax.grad(
+        lambda a: jnp.abs(pallas_flow_warp(a, flow, True)).sum()
+    )(x)
+    assert np.allclose(np.asarray(g_pal), np.asarray(g_ref), atol=1e-5)
+
+    gf_ref = jax.grad(lambda f: (flow_warp(x, f) ** 2).sum())(flow)
+    gf_pal = jax.grad(
+        lambda f: (pallas_flow_warp(x, f, True) ** 2).sum()
+    )(flow)
+    assert np.allclose(np.asarray(gf_pal), np.asarray(gf_ref), atol=1e-4)
