@@ -220,3 +220,11 @@ class Stage1Trainer:
         """Convenience: bicubic-upscale the LQ clip inside the step."""
         lq_up = upscale_frames(lq_small_01, self.pipe.cfg.sf)
         return self.train_step(state, lq_up, gt_01, rng)
+
+
+def with_ema(state: TrainState) -> Dict[str, Any]:
+    """Full parameter dict with EMA shadows swapped in for the trainables —
+    the reference's ``model.ema_scope()`` used at inference
+    (ldm/modules/ema.py:5-78; scripts old.py:321)."""
+    source = state.ema if state.ema is not None else state.trainable
+    return merge_params(source, state.frozen)

@@ -41,3 +41,17 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return jax.random.PRNGKey(0)
+
+
+import jax.numpy as _jnp  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def tiny_pipe():
+    """Shared tiny pipeline + params (init is the slowest test fixture)."""
+    from tests.test_pipeline import tiny_config
+    from mgldvsr_tpu.infer.pipeline import MGLDVSRPipeline
+
+    pipe = MGLDVSRPipeline(tiny_config())
+    params = pipe.init_params(jax.random.PRNGKey(0), 32, 32)
+    return pipe, params

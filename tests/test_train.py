@@ -130,3 +130,13 @@ def test_train_step_sharded_on_mesh():
             state, lq, gt, jax.random.PRNGKey(2)
         )
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_with_ema_swaps_trainables():
+    from mgldvsr_tpu.train.trainer import with_ema
+
+    _, trainer, state, params = _setup()
+    full = with_ema(state)
+    f0 = traverse_util.flatten_dict(full, sep="/")
+    p0 = traverse_util.flatten_dict(params, sep="/")
+    assert set(f0) == set(p0)
