@@ -52,6 +52,17 @@ from mgldvsr_tpu.ops.warp import flow_warp
 # ---------------------------------------------------------------------------
 
 
+def _guided_warp(lat: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Warp used inside the guidance objective. On TPU this takes the fused
+    Pallas path (matmul forward AND matmul dL/dlatents — no scatter in the
+    per-step gradient); elsewhere the XLA reference implementation."""
+    if jax.default_backend() == "tpu":
+        from mgldvsr_tpu.ops.pallas.flow_warp import flow_warp_guided
+
+        return flow_warp_guided(lat, flow)
+    return flow_warp(lat, flow)
+
+
 def temporal_warp_loss(
     latents: jnp.ndarray,
     flows: Tuple[jnp.ndarray, jnp.ndarray],
@@ -92,23 +103,23 @@ def temporal_warp_loss(
         for k in range(t - 2, -1, -1):
             m = 1.0 - fwd_occs[:, k]
             loss = loss + l1(m * prev, m * lat[:, k])
-            prev = flow_warp(lat[:, k], flow_bwd[:, k])
+            prev = _guided_warp(lat[:, k], flow_bwd[:, k])
         # Forward pass: terms at k = 1 .. t-1, prev_1 = zeros,
         # prev_k = warp(l_{k-1}, flow_fwd[k-2]) for k >= 2.
         prev = jnp.zeros_like(lat[:, 0])
         for k in range(1, t):
             n = 1.0 - bwd_occs[:, k - 1]
             loss = loss + l1(n * prev, n * lat[:, k])
-            prev = flow_warp(lat[:, k], flow_fwd[:, k - 1])
+            prev = _guided_warp(lat[:, k], flow_fwd[:, k - 1])
     elif mode == "aligned":
         for k in range(t - 1):
             # frame k vs frame k+1 warped back to k
             m = 1.0 - fwd_occs[:, k]
-            loss = loss + l1(m * flow_warp(lat[:, k + 1], flow_bwd[:, k]),
+            loss = loss + l1(m * _guided_warp(lat[:, k + 1], flow_bwd[:, k]),
                              m * lat[:, k])
             # frame k+1 vs frame k warped forward to k+1
             n = 1.0 - bwd_occs[:, k]
-            loss = loss + l1(n * flow_warp(lat[:, k], flow_fwd[:, k]),
+            loss = loss + l1(n * _guided_warp(lat[:, k], flow_fwd[:, k]),
                              n * lat[:, k + 1])
     else:
         raise ValueError(f"unknown temporal loss mode {mode!r}")

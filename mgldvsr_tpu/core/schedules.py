@@ -170,7 +170,8 @@ class DiffusionSchedule:
             )
         else:
             raise ValueError(f"unknown parameterization {parameterization}")
-        lvlb_weights[0] = lvlb_weights[1]
+        if len(lvlb_weights) > 1:
+            lvlb_weights[0] = lvlb_weights[1]
 
         if timestep_map is None:
             timestep_map = np.arange(len(betas), dtype=np.int32)

@@ -97,3 +97,94 @@ def _bwd(interpret, res, g):
 
 
 pallas_flow_warp.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused guidance warp: Pallas forward AND Pallas dL/dx (the transpose of the
+# one-hot weight matrix — a matmul instead of XLA's scatter-add, which is
+# the slow path in the per-step guidance gradient). The flow cotangent is
+# ZERO by contract: guidance differentiates w.r.t. latents only (flows are
+# per-segment constants, ddpm.py:4359-4374).
+# ---------------------------------------------------------------------------
+
+
+def _warp_row_dx_kernel(g_ref, flow_ref, out_ref):
+    """g_ref: [1,1,W,C] output-row cotangent; out_ref: [1,H,W,C] accumulated
+    input cotangent (same block revisited across the row grid axis)."""
+    _, h, w, c = out_ref.shape
+    row = pl.program_id(1)
+
+    @pl.when(row == 0)
+    def _():
+        out_ref[0] = jnp.zeros((h, w, c), out_ref.dtype)
+
+    flow = flow_ref[0, 0]
+    col = jax.lax.broadcasted_iota(jnp.float32, (w, 1), 0)[:, 0]
+    px = col + flow[:, 0].astype(jnp.float32)
+    py = jnp.float32(row) + flow[:, 1].astype(jnp.float32)
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    tx = px - x0
+    ty = py - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    hw = h * w
+    p_iota = jax.lax.broadcasted_iota(jnp.int32, (w, hw), 1)
+
+    def corner(dy, dx, wt):
+        xx = x0i + dx
+        yy = y0i + dy
+        valid = ((xx >= 0) & (xx <= w - 1) & (yy >= 0) & (yy <= h - 1))
+        idx = jnp.clip(yy, 0, h - 1) * w + jnp.clip(xx, 0, w - 1)
+        onehot = (p_iota == idx[:, None]).astype(jnp.float32)
+        return onehot * (wt * valid.astype(jnp.float32))[:, None]
+
+    weights = (
+        corner(0, 0, (1 - tx) * (1 - ty))
+        + corner(0, 1, tx * (1 - ty))
+        + corner(1, 0, (1 - tx) * ty)
+        + corner(1, 1, tx * ty)
+    )  # [W, HW]
+    g_row = g_ref[0, 0].astype(jnp.float32)  # [W, C]
+    dx = jnp.dot(weights.T, g_row,
+                 preferred_element_type=jnp.float32)  # [HW, C]
+    out_ref[0] = out_ref[0] + dx.reshape(h, w, c).astype(out_ref.dtype)
+
+
+def _pallas_warp_dx(g: jnp.ndarray, flow: jnp.ndarray,
+                    interpret: bool = False) -> jnp.ndarray:
+    n, h, w, c = g.shape
+    return pl.pallas_call(
+        _warp_row_dx_kernel,
+        grid=(n, h),
+        in_specs=[
+            pl.BlockSpec((1, 1, w, c), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, w, 2), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, c), g.dtype),
+        interpret=interpret,
+    )(g, flow)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def flow_warp_guided(x: jnp.ndarray, flow: jnp.ndarray,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Warp with Pallas forward and Pallas matmul backward w.r.t. ``x``;
+    the flow cotangent is ZERO (guidance-only contract)."""
+    return pallas_flow_warp(x, flow, interpret)
+
+
+def _gfwd(x, flow, interpret):
+    return flow_warp_guided(x, flow, interpret), flow
+
+
+def _gbwd(interpret, flow, g):
+    return _pallas_warp_dx(g, flow, interpret), jnp.zeros_like(flow)
+
+
+flow_warp_guided.defvjp(_gfwd, _gbwd)

@@ -35,3 +35,29 @@ def test_pallas_warp_gradient_matches():
         lambda f: (pallas_flow_warp(x, f, True) ** 2).sum()
     )(flow)
     assert np.allclose(np.asarray(gf_pal), np.asarray(gf_ref), atol=1e-4)
+
+
+def test_flow_warp_guided_dx_matmul_matches():
+    from mgldvsr_tpu.ops.pallas.flow_warp import flow_warp_guided
+
+    rs = np.random.RandomState(2)
+    x = jnp.asarray(rs.randn(2, 8, 8, 4).astype(np.float32))
+    flow = jnp.asarray((rs.randn(2, 8, 8, 2) * 2).astype(np.float32))
+
+    out = flow_warp_guided(x, flow, True)
+    assert np.allclose(np.asarray(out), np.asarray(flow_warp(x, flow)),
+                       atol=1e-5)
+
+    g_ref = jax.grad(lambda a: jnp.abs(flow_warp(a, flow)).sum())(x)
+    g_pal = jax.grad(
+        lambda a: jnp.abs(flow_warp_guided(a, flow, True)).sum()
+    )(x)
+    assert np.allclose(np.asarray(g_pal), np.asarray(g_ref), atol=1e-5), (
+        np.abs(np.asarray(g_pal) - np.asarray(g_ref)).max()
+    )
+
+    # flow cotangent is zero by contract
+    gf = jax.grad(
+        lambda f: (flow_warp_guided(x, f, True) ** 2).sum()
+    )(flow)
+    assert float(jnp.abs(gf).max()) == 0.0
