@@ -137,3 +137,35 @@ def test_swinir():
         np.asarray(window_reverse(window_partition(z, 8), 8, 16, 24)),
         np.asarray(z),
     )
+
+
+def test_misc_archs():
+    from mgldvsr_tpu.models.heritage.misc_archs import (
+        DUF, ECBSR, RCAN, RIDNet, TOFlow,
+    )
+
+    x = _rand(1, 8, 8, 3, seed=10)
+    m = RCAN(num_feat=16, num_group=1, num_block=1)
+    y = m.apply(m.init(jax.random.PRNGKey(0), x), x)
+    assert y.shape == (1, 32, 32, 3)
+
+    frames = _rand(1, 7, 8, 8, 3, seed=11)
+    flows = jnp.zeros((1, 7, 8, 8, 2))
+    m = TOFlow()
+    y = m.apply(m.init(jax.random.PRNGKey(0), frames, flows), frames, flows)
+    assert y.shape == (1, 8, 8, 3)
+
+    frames5 = _rand(1, 5, 8, 8, 3, seed=12)
+    m = DUF(scale=4, num_feat=8)
+    y = m.apply(m.init(jax.random.PRNGKey(0), frames5), frames5)
+    assert y.shape == (1, 32, 32, 3)
+
+    m = ECBSR(num_feat=8, num_block=2)
+    y = m.apply(m.init(jax.random.PRNGKey(0), x), x)
+    assert y.shape == (1, 32, 32, 3)
+
+    m = RIDNet(num_feat=16, num_block=1)
+    y = m.apply(m.init(jax.random.PRNGKey(0), x), x)
+    assert y.shape == (1, 8, 8, 3)
+    for arr in (y,):
+        assert np.isfinite(np.asarray(arr)).all()
