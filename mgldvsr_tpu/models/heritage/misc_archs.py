@@ -120,7 +120,6 @@ class DUF(nn.Module):
         center = t // 2
         ks = self.filter_size
         r = self.scale
-        x = frames.reshape(b, t * c * 0 + t, h, w, c).reshape(b, t, h, w, c)
         feat = frames.reshape(b * t, h, w, c)
         feat = nn.relu(_conv(self.num_feat, name="conv_in")(feat))
         feat = nn.relu(_conv(self.num_feat, name="conv_mid")(feat))

@@ -169,3 +169,23 @@ def test_misc_archs():
     assert y.shape == (1, 8, 8, 3)
     for arr in (y,):
         assert np.isfinite(np.asarray(arr)).all()
+
+
+def test_stylegan2():
+    from mgldvsr_tpu.models.heritage.stylegan2 import (
+        StyleGAN2Discriminator, StyleGAN2Generator,
+    )
+
+    g = StyleGAN2Generator(out_size=16, style_dim=32, num_mlp=2,
+                           channel_base=8)
+    z = _rand(2, 32, seed=13)
+    p = g.init(jax.random.PRNGKey(0), z, jax.random.PRNGKey(1))
+    img = g.apply(p, z, jax.random.PRNGKey(2))
+    assert img.shape == (2, 16, 16, 3)
+    assert np.isfinite(np.asarray(img)).all()
+
+    d = StyleGAN2Discriminator(in_size=16, channel_base=8)
+    dp = d.init(jax.random.PRNGKey(0), img)
+    logits = d.apply(dp, img)
+    assert logits.shape == (2, 1)
+    assert np.isfinite(np.asarray(logits)).all()
