@@ -27,7 +27,8 @@ def _warp_row_kernel(img_ref, flow_ref, out_ref):
     row = pl.program_id(1)
 
     flow = flow_ref[0, 0]  # [W, 2]
-    col = jax.lax.broadcasted_iota(jnp.float32, (w, 1), 0)[:, 0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)[:, 0].astype(
+        jnp.float32)
     px = col + flow[:, 0].astype(jnp.float32)
     py = jnp.float32(row) + flow[:, 1].astype(jnp.float32)
 
@@ -119,7 +120,8 @@ def _warp_row_dx_kernel(g_ref, flow_ref, out_ref):
         out_ref[0] = jnp.zeros((h, w, c), out_ref.dtype)
 
     flow = flow_ref[0, 0]
-    col = jax.lax.broadcasted_iota(jnp.float32, (w, 1), 0)[:, 0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)[:, 0].astype(
+        jnp.float32)
     px = col + flow[:, 0].astype(jnp.float32)
     py = jnp.float32(row) + flow[:, 1].astype(jnp.float32)
     x0 = jnp.floor(px)
