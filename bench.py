@@ -37,6 +37,7 @@ def main():
     ap.add_argument("--frames", type=int, default=5)
     ap.add_argument("--iters", type=int, default=3, help="timed repetitions")
     ap.add_argument("--baseline-fps", type=float, default=0.25)
+    ap.add_argument("--no-guidance", action="store_true")
     args = ap.parse_args()
 
     if args.tiny:
@@ -98,7 +99,9 @@ def main():
     params = pipe.init_params(rng, size, size)
     frames = jax.random.uniform(jax.random.PRNGKey(1), (t, size, size, 3))
 
-    restore = jax.jit(lambda p, f, k: pipe.restore_segment(p, f, k))
+    restore = jax.jit(
+        lambda p, f, k: pipe.restore_segment(
+            p, f, k, use_guidance=not args.no_guidance))
 
     # compile + warmup
     out = jax.block_until_ready(restore(params, frames, jax.random.PRNGKey(2)))

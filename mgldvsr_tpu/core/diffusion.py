@@ -97,29 +97,54 @@ def temporal_warp_loss(
 
     loss = jnp.zeros((), dtype=jnp.float32)
     if mode == "reference":
+        # All warps batched into ONE call (2(t-2) stacked warps) — one
+        # kernel launch + one backward instead of 2(t-1) small ones.
+        # Needed warps: wb[j] = warp(l_j, fb[j]) for j in 1..t-2 (used as
+        # prev at term k=j-1) and wf[j] = warp(l_j, ff[j-1]) for j in
+        # 1..t-2 (used as prev at term k=j+1).
+        if t > 2:
+            js = list(range(1, t - 1))
+            src = jnp.concatenate(
+                [lat[:, j] for j in js] + [lat[:, j] for j in js], axis=0)
+            flo = jnp.concatenate(
+                [flow_bwd[:, j] for j in js]
+                + [flow_fwd[:, j - 1] for j in js], axis=0)
+            warped = _guided_warp(src, flo)
+            nb = b * len(js)
+            wb = {j: warped[(i) * b : (i + 1) * b]
+                  for i, j in enumerate(js)}
+            wf = {j: warped[nb + i * b : nb + (i + 1) * b]
+                  for i, j in enumerate(js)}
+        else:
+            wb, wf = {}, {}
+        zeros = jnp.zeros_like(lat[:, 0])
         # Backward pass: terms at k = t-2 .. 0, prev_{t-2} = zeros,
         # prev_k = warp(l_{k+1}, flow_bwd[k+1]) for k <= t-3.
-        prev = jnp.zeros_like(lat[:, 0])
         for k in range(t - 2, -1, -1):
             m = 1.0 - fwd_occs[:, k]
+            prev = wb.get(k + 1, zeros)
             loss = loss + l1(m * prev, m * lat[:, k])
-            prev = _guided_warp(lat[:, k], flow_bwd[:, k])
         # Forward pass: terms at k = 1 .. t-1, prev_1 = zeros,
         # prev_k = warp(l_{k-1}, flow_fwd[k-2]) for k >= 2.
-        prev = jnp.zeros_like(lat[:, 0])
         for k in range(1, t):
             n = 1.0 - bwd_occs[:, k - 1]
+            prev = wf.get(k - 1, zeros)
             loss = loss + l1(n * prev, n * lat[:, k])
-            prev = _guided_warp(lat[:, k], flow_fwd[:, k - 1])
     elif mode == "aligned":
+        # 2(t-1) warps in one batched call
+        src = jnp.concatenate(
+            [lat[:, k + 1] for k in range(t - 1)]
+            + [lat[:, k] for k in range(t - 1)], axis=0)
+        flo = jnp.concatenate(
+            [flow_bwd[:, k] for k in range(t - 1)]
+            + [flow_fwd[:, k] for k in range(t - 1)], axis=0)
+        warped = _guided_warp(src, flo)
+        nb = b * (t - 1)
         for k in range(t - 1):
-            # frame k vs frame k+1 warped back to k
             m = 1.0 - fwd_occs[:, k]
-            loss = loss + l1(m * _guided_warp(lat[:, k + 1], flow_bwd[:, k]),
-                             m * lat[:, k])
-            # frame k+1 vs frame k warped forward to k+1
+            loss = loss + l1(m * warped[k * b : (k + 1) * b], m * lat[:, k])
             n = 1.0 - bwd_occs[:, k]
-            loss = loss + l1(n * _guided_warp(lat[:, k], flow_fwd[:, k]),
+            loss = loss + l1(n * warped[nb + k * b : nb + (k + 1) * b],
                              n * lat[:, k + 1])
     else:
         raise ValueError(f"unknown temporal loss mode {mode!r}")
