@@ -97,6 +97,14 @@ def main():
     rng = jax.random.PRNGKey(0)
     # fast shape-based init (host-side; no XLA compile)
     params = pipe.init_params(rng, size, size)
+    if not args.tiny:
+        # bf16 parameter storage for inference: halves weight HBM traffic
+        # and removes the per-step fp32->bf16 casts inside the scan
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            params,
+        )
     frames = jax.random.uniform(jax.random.PRNGKey(1), (t, size, size, 3))
 
     restore = jax.jit(

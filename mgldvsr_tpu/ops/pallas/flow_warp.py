@@ -21,16 +21,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _warp_row_kernel(img_ref, flow_ref, out_ref):
-    """img_ref: [1,H,W,C]; flow_ref: [1,1,W,2]; out_ref: [1,1,W,C]."""
-    _, h, w, c = img_ref.shape
-    row = pl.program_id(1)
+ROWS_PER_BLOCK = 4
 
-    flow = flow_ref[0, 0]  # [W, 2]
-    col = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)[:, 0].astype(
-        jnp.float32)
+
+def _warp_row_kernel(img_ref, flow_ref, out_ref):
+    """img_ref: [1,H,W,C]; flow_ref: [1,R,W,2]; out_ref: [1,R,W,C]."""
+    _, h, w, c = img_ref.shape
+    r_blk = flow_ref.shape[1]
+    row0 = pl.program_id(1) * r_blk
+
+    flow = flow_ref[0].reshape(r_blk * w, 2)  # [R*W, 2]
+    col = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 1).reshape(
+        r_blk * w).astype(jnp.float32)
+    rows = (row0 + jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 0)
+            ).reshape(r_blk * w).astype(jnp.float32)
     px = col + flow[:, 0].astype(jnp.float32)
-    py = jnp.float32(row) + flow[:, 1].astype(jnp.float32)
+    py = rows + flow[:, 1].astype(jnp.float32)
 
     x0 = jnp.floor(px)
     y0 = jnp.floor(py)
@@ -41,7 +47,7 @@ def _warp_row_kernel(img_ref, flow_ref, out_ref):
 
     hw = h * w
     img_flat = img_ref[0].reshape(hw, c)
-    p_iota = jax.lax.broadcasted_iota(jnp.int32, (w, hw), 1)
+    p_iota = jax.lax.broadcasted_iota(jnp.int32, (r_blk * w, hw), 1)
 
     def corner(dy, dx, wt):
         xx = x0i + dx
@@ -57,10 +63,10 @@ def _warp_row_kernel(img_ref, flow_ref, out_ref):
         + corner(1, 0, (1 - tx) * ty)
         + corner(1, 1, tx * ty)
     )
-    out_ref[0, 0] = jnp.dot(
+    out_ref[0] = jnp.dot(
         weights, img_flat.astype(jnp.float32),
         preferred_element_type=jnp.float32,
-    ).astype(out_ref.dtype)
+    ).reshape(r_blk, w, c).astype(out_ref.dtype)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -69,16 +75,17 @@ def pallas_flow_warp(x: jnp.ndarray, flow: jnp.ndarray,
     """Bilinear backward-warp (zeros padding, align_corners=True semantics),
     Pallas forward + XLA backward. x: [N,H,W,C]; flow: [N,H,W,2]."""
     n, h, w, c = x.shape
+    rb = ROWS_PER_BLOCK if h % ROWS_PER_BLOCK == 0 else 1
     return pl.pallas_call(
         _warp_row_kernel,
-        grid=(n, h),
+        grid=(n, h // rb),
         in_specs=[
             pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, w, 2), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, rb, w, 2), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, w, c), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, rb, w, c), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, w, c), x.dtype),
         interpret=interpret,
@@ -110,20 +117,23 @@ pallas_flow_warp.defvjp(_fwd, _bwd)
 
 
 def _warp_row_dx_kernel(g_ref, flow_ref, out_ref):
-    """g_ref: [1,1,W,C] output-row cotangent; out_ref: [1,H,W,C] accumulated
-    input cotangent (same block revisited across the row grid axis)."""
+    """g_ref: [1,R,W,C] output-rows cotangent; out_ref: [1,H,W,C]
+    accumulated input cotangent (same block revisited across the grid)."""
     _, h, w, c = out_ref.shape
-    row = pl.program_id(1)
+    r_blk = flow_ref.shape[1]
+    row0 = pl.program_id(1) * r_blk
 
-    @pl.when(row == 0)
+    @pl.when(pl.program_id(1) == 0)
     def _():
         out_ref[0] = jnp.zeros((h, w, c), out_ref.dtype)
 
-    flow = flow_ref[0, 0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)[:, 0].astype(
-        jnp.float32)
+    flow = flow_ref[0].reshape(r_blk * w, 2)
+    col = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 1).reshape(
+        r_blk * w).astype(jnp.float32)
+    rows = (row0 + jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 0)
+            ).reshape(r_blk * w).astype(jnp.float32)
     px = col + flow[:, 0].astype(jnp.float32)
-    py = jnp.float32(row) + flow[:, 1].astype(jnp.float32)
+    py = rows + flow[:, 1].astype(jnp.float32)
     x0 = jnp.floor(px)
     y0 = jnp.floor(py)
     tx = px - x0
@@ -132,7 +142,7 @@ def _warp_row_dx_kernel(g_ref, flow_ref, out_ref):
     y0i = y0.astype(jnp.int32)
 
     hw = h * w
-    p_iota = jax.lax.broadcasted_iota(jnp.int32, (w, hw), 1)
+    p_iota = jax.lax.broadcasted_iota(jnp.int32, (r_blk * w, hw), 1)
 
     def corner(dy, dx, wt):
         xx = x0i + dx
@@ -147,8 +157,8 @@ def _warp_row_dx_kernel(g_ref, flow_ref, out_ref):
         + corner(0, 1, tx * (1 - ty))
         + corner(1, 0, (1 - tx) * ty)
         + corner(1, 1, tx * ty)
-    )  # [W, HW]
-    g_row = g_ref[0, 0].astype(jnp.float32)  # [W, C]
+    )  # [R*W, HW]
+    g_row = g_ref[0].reshape(r_blk * w, c).astype(jnp.float32)
     dx = jnp.dot(weights.T, g_row,
                  preferred_element_type=jnp.float32)  # [HW, C]
     out_ref[0] = out_ref[0] + dx.reshape(h, w, c).astype(out_ref.dtype)
@@ -157,13 +167,14 @@ def _warp_row_dx_kernel(g_ref, flow_ref, out_ref):
 def _pallas_warp_dx(g: jnp.ndarray, flow: jnp.ndarray,
                     interpret: bool = False) -> jnp.ndarray:
     n, h, w, c = g.shape
+    rb = ROWS_PER_BLOCK if h % ROWS_PER_BLOCK == 0 else 1
     return pl.pallas_call(
         _warp_row_dx_kernel,
-        grid=(n, h),
+        grid=(n, h // rb),
         in_specs=[
-            pl.BlockSpec((1, 1, w, c), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, rb, w, c), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, w, 2), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, rb, w, 2), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0),
