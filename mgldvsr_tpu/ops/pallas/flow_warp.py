@@ -30,13 +30,13 @@ def _warp_row_kernel(img_ref, flow_ref, out_ref):
     r_blk = flow_ref.shape[1]
     row0 = pl.program_id(1) * r_blk
 
+    # all index math stays 2D ([R*W, 1]) — Mosaic rejects 1D reshapes
     flow = flow_ref[0].reshape(r_blk * w, 2)  # [R*W, 2]
-    col = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 1).reshape(
-        r_blk * w).astype(jnp.float32)
-    rows = (row0 + jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 0)
-            ).reshape(r_blk * w).astype(jnp.float32)
-    px = col + flow[:, 0].astype(jnp.float32)
-    py = rows + flow[:, 1].astype(jnp.float32)
+    pix = jax.lax.broadcasted_iota(jnp.int32, (r_blk * w, 1), 0)
+    col = (pix % w).astype(jnp.float32)
+    rows = (row0 + pix // w).astype(jnp.float32)
+    px = col + flow[:, 0:1].astype(jnp.float32)
+    py = rows + flow[:, 1:2].astype(jnp.float32)
 
     x0 = jnp.floor(px)
     y0 = jnp.floor(py)
@@ -53,9 +53,9 @@ def _warp_row_kernel(img_ref, flow_ref, out_ref):
         xx = x0i + dx
         yy = y0i + dy
         valid = ((xx >= 0) & (xx <= w - 1) & (yy >= 0) & (yy <= h - 1))
-        idx = jnp.clip(yy, 0, h - 1) * w + jnp.clip(xx, 0, w - 1)
-        onehot = (p_iota == idx[:, None]).astype(jnp.float32)
-        return onehot * (wt * valid.astype(jnp.float32))[:, None]
+        idx = jnp.clip(yy, 0, h - 1) * w + jnp.clip(xx, 0, w - 1)  # [R*W,1]
+        onehot = (p_iota == idx).astype(jnp.float32)
+        return onehot * (wt * valid.astype(jnp.float32))
 
     weights = (
         corner(0, 0, (1 - tx) * (1 - ty))
@@ -127,13 +127,13 @@ def _warp_row_dx_kernel(g_ref, flow_ref, out_ref):
     def _():
         out_ref[0] = jnp.zeros((h, w, c), out_ref.dtype)
 
-    flow = flow_ref[0].reshape(r_blk * w, 2)
-    col = jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 1).reshape(
-        r_blk * w).astype(jnp.float32)
-    rows = (row0 + jax.lax.broadcasted_iota(jnp.int32, (r_blk, w), 0)
-            ).reshape(r_blk * w).astype(jnp.float32)
-    px = col + flow[:, 0].astype(jnp.float32)
-    py = rows + flow[:, 1].astype(jnp.float32)
+    # all index math stays 2D ([R*W, 1]) — Mosaic rejects 1D reshapes
+    flow = flow_ref[0].reshape(r_blk * w, 2)  # [R*W, 2]
+    pix = jax.lax.broadcasted_iota(jnp.int32, (r_blk * w, 1), 0)
+    col = (pix % w).astype(jnp.float32)
+    rows = (row0 + pix // w).astype(jnp.float32)
+    px = col + flow[:, 0:1].astype(jnp.float32)
+    py = rows + flow[:, 1:2].astype(jnp.float32)
     x0 = jnp.floor(px)
     y0 = jnp.floor(py)
     tx = px - x0
@@ -148,9 +148,9 @@ def _warp_row_dx_kernel(g_ref, flow_ref, out_ref):
         xx = x0i + dx
         yy = y0i + dy
         valid = ((xx >= 0) & (xx <= w - 1) & (yy >= 0) & (yy <= h - 1))
-        idx = jnp.clip(yy, 0, h - 1) * w + jnp.clip(xx, 0, w - 1)
-        onehot = (p_iota == idx[:, None]).astype(jnp.float32)
-        return onehot * (wt * valid.astype(jnp.float32))[:, None]
+        idx = jnp.clip(yy, 0, h - 1) * w + jnp.clip(xx, 0, w - 1)  # [R*W,1]
+        onehot = (p_iota == idx).astype(jnp.float32)
+        return onehot * (wt * valid.astype(jnp.float32))
 
     weights = (
         corner(0, 0, (1 - tx) * (1 - ty))
