@@ -15,14 +15,42 @@ _IMPL = "xla"
 
 
 def set_attention_impl(impl: str) -> None:
-    """impl: 'xla' (fused dot-product attention) or 'naive'."""
+    """impl: 'xla' (fused dot-product attention — fastest at MGLD sizes,
+    measured), 'flash' (Pallas TPU flash-attention for long sequences), or
+    'naive'."""
     global _IMPL
-    assert impl in ("xla", "naive")
+    assert impl in ("xla", "flash", "naive")
     _IMPL = impl
 
 
 def attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """q [B,N,H,D], k/v [B,M,H,D] -> [B,N,H,D]. Softmax in fp32."""
+    """q [B,N,H,D], k/v [B,M,H,D] -> [B,N,H,D]. Softmax in fp32.
+
+    On TPU, long self-attention (N == M >= 1024, e.g. the UNet's 64x64
+    spatial levels) takes the Pallas flash-attention kernel — XLA would
+    otherwise stream [B,H,N,N] logits through HBM (1.6 GB per layer at
+    N=4096)."""
+    n, m = q.shape[1], k.shape[1]
+    if (
+        _IMPL == "flash"
+        and jax.default_backend() == "tpu"
+        and n == m
+        and n >= 1024
+        and n % 512 == 0
+    ):
+        try:
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention,
+            )
+
+            qt = q.transpose(0, 2, 1, 3)
+            kt = k.transpose(0, 2, 1, 3)
+            vt = v.transpose(0, 2, 1, 3)
+            out = flash_attention(qt, kt, vt,
+                                  sm_scale=q.shape[-1] ** -0.5)
+            return out.transpose(0, 2, 1, 3)
+        except Exception:
+            pass
     if _IMPL == "xla":
         return jax.nn.dot_product_attention(q, k, v)
     scale = q.shape[-1] ** -0.5
