@@ -113,7 +113,7 @@ class UNetResBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, emb, *, deterministic: bool = True):
+    def __call__(self, x, emb, deterministic: bool = True):
         c_in = x.shape[-1]
         h = group_norm(dtype=self.dtype)(x)
         h = nn.silu(h)

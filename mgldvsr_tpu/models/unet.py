@@ -56,6 +56,7 @@ class UNetConfig:
     dropout: float = 0.0
     use_linear_in_transformer: bool = True
     use_temporal: bool = True  # False => image-SR UNetModelDualcondV2
+    use_checkpoint: bool = False  # activation remat per block (training memory)
     dtype: Any = jnp.float32
 
 
@@ -70,7 +71,7 @@ class DualResBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, emb, s_cond: Dict[str, jnp.ndarray], *, deterministic=True):
+    def __call__(self, x, emb, s_cond: Dict[str, jnp.ndarray], deterministic=True):
         c_in = x.shape[-1]
         h = group_norm(dtype=self.dtype)(x)
         h = nn.silu(h)
@@ -105,13 +106,24 @@ class InflatedUNetDualCond(nn.Module):
         t_feat = timestep_embedding(timesteps, mc)
         emb = TimestepEmbedMLP(emb_dim, dt, name="time_embed")(t_feat)
 
+        # ``use_checkpoint`` = per-block activation rematerialization
+        # (jax.checkpoint), the TPU equivalent of the reference's
+        # CheckpointFunction flag (diffusionmodules/util.py:102-148):
+        # recompute block activations in the backward pass instead of
+        # keeping them resident in HBM. `deterministic` is static argnum 4
+        # (self=0) so the python bool never hits the tracer.
+        res_cls = (nn.remat(DualResBlock, static_argnums=(4,))
+                   if cfg.use_checkpoint else DualResBlock)
+        tr_cls = (nn.remat(SpatialTransformer)
+                  if cfg.use_checkpoint else SpatialTransformer)
+
         def res(out_ch, name):
-            return DualResBlock(out_ch, emb_dim, cfg.semb_channels, cfg.dropout,
-                                dt, name=name)
+            return res_cls(out_ch, emb_dim, cfg.semb_channels, cfg.dropout,
+                           dt, name=name)
 
         def transformer(ch, name):
             heads = ch // cfg.num_head_channels
-            return SpatialTransformer(
+            return tr_cls(
                 heads, cfg.num_head_channels, cfg.transformer_depth,
                 cfg.context_dim, cfg.use_linear_in_transformer, dtype=dt, name=name)
 
@@ -124,7 +136,7 @@ class InflatedUNetDualCond(nn.Module):
             for nr in range(cfg.num_res_blocks):
                 ch = mult * mc
                 h = res(ch, f"in_{level}_{nr}_res")(h, emb, struct_cond,
-                                                    deterministic=deterministic)
+                                                    deterministic)
                 if ds in cfg.attention_resolutions:
                     h = transformer(ch, f"in_{level}_{nr}_attn")(h, context)
                 hs.append(h)
@@ -137,7 +149,7 @@ class InflatedUNetDualCond(nn.Module):
         # (temporal modules only when use_temporal — image SR omits them,
         # matching UNetModelDualcondV2, openaimodel.py:982)
         heads_mid = ch // cfg.num_head_channels
-        h = res(ch, "mid_res1")(h, emb, struct_cond, deterministic=deterministic)
+        h = res(ch, "mid_res1")(h, emb, struct_cond, deterministic)
         if cfg.use_temporal:
             h = SpatialTemporalConv(cfg.num_frames, dt, name="mid_stconv1")(h)
         h = transformer(ch, "mid_attn")(h, context)
@@ -145,7 +157,7 @@ class InflatedUNetDualCond(nn.Module):
             h = TemporalAttention(cfg.num_frames, heads_mid,
                                   cfg.num_head_channels, dt,
                                   name="mid_tattn")(h)
-        h = res(ch, "mid_res2")(h, emb, struct_cond, deterministic=deterministic)
+        h = res(ch, "mid_res2")(h, emb, struct_cond, deterministic)
         if cfg.use_temporal:
             h = SpatialTemporalConv(cfg.num_frames, dt, name="mid_stconv2")(h)
 
@@ -154,7 +166,7 @@ class InflatedUNetDualCond(nn.Module):
                 ch = mult * mc
                 h = jnp.concatenate([h, hs.pop()], axis=-1)
                 h = res(ch, f"out_{level}_{i}_res")(h, emb, struct_cond,
-                                                    deterministic=deterministic)
+                                                    deterministic)
                 if ds in cfg.attention_resolutions:
                     h = transformer(ch, f"out_{level}_{i}_attn")(h, context)
                 if level and i == cfg.num_res_blocks:
@@ -178,6 +190,7 @@ class StructCondConfig:
     num_heads: int = 4
     dropout: float = 0.0
     num_frames: int = 5
+    use_checkpoint: bool = False  # activation remat per block
     dtype: Any = jnp.float32
 
 
@@ -197,15 +210,18 @@ class StructCondEncoder(nn.Module):
         t_feat = timestep_embedding(timesteps, mc)
         emb = TimestepEmbedMLP(emb_dim, dt, name="time_embed")(t_feat)
 
+        res_cls = (nn.remat(UNetResBlock, static_argnums=(3,))
+                   if cfg.use_checkpoint else UNetResBlock)
+
         h = conv3x3(mc, dt, name="conv_in")(x.astype(dt))
         feats = []
         ds = 1
         for level, mult in enumerate(cfg.channel_mult):
             ch = mult * mc
             for nr in range(cfg.num_res_blocks):
-                h = UNetResBlock(ch, emb_dim, cfg.dropout, dtype=dt,
-                                 name=f"in_{level}_{nr}_res")(
-                    h, emb, deterministic=deterministic)
+                h = res_cls(ch, emb_dim, cfg.dropout, dtype=dt,
+                            name=f"in_{level}_{nr}_res")(
+                    h, emb, deterministic)
                 if ds in cfg.attention_resolutions:
                     h = QKVAttentionBlock(cfg.num_heads, dtype=dt,
                                           name=f"in_{level}_{nr}_attn")(h)
@@ -214,17 +230,17 @@ class StructCondEncoder(nn.Module):
                 h = Downsample(ch, True, dt, name=f"in_{level}_down")(h)
                 ds *= 2
 
-        h = UNetResBlock(h.shape[-1], emb_dim, cfg.dropout, dtype=dt,
-                         name="mid_res1")(h, emb, deterministic=deterministic)
+        h = res_cls(h.shape[-1], emb_dim, cfg.dropout, dtype=dt,
+                    name="mid_res1")(h, emb, deterministic)
         h = QKVAttentionBlock(cfg.num_heads, dtype=dt, name="mid_attn")(h)
-        h = UNetResBlock(h.shape[-1], emb_dim, cfg.dropout, dtype=dt,
-                         name="mid_res2")(h, emb, deterministic=deterministic)
+        h = res_cls(h.shape[-1], emb_dim, cfg.dropout, dtype=dt,
+                    name="mid_res2")(h, emb, deterministic)
         feats.append(h)
 
         results: Dict[str, jnp.ndarray] = {}
         for i, f in enumerate(feats):
-            proj = UNetResBlock(cfg.out_channels, emb_dim, cfg.dropout, dtype=dt,
-                                name=f"fea_tran_{i}")(
-                f, emb, deterministic=deterministic)
+            proj = res_cls(cfg.out_channels, emb_dim, cfg.dropout, dtype=dt,
+                           name=f"fea_tran_{i}")(
+                f, emb, deterministic)
             results[str(proj.shape[-2])] = proj
         return results

@@ -154,3 +154,66 @@ def test_clip_flow_protocol():
     assert lat.shape == (b, t - 1, h // 2, w // 2, 2)
     # magnitudes rescaled by the ratio
     assert np.allclose(np.asarray(lat), 0.5)
+
+
+# ---------------------------------------------------------------------------
+# MaskFlownet_S
+# ---------------------------------------------------------------------------
+
+
+def test_local_correlation_matches_bruteforce():
+    from mgldvsr_tpu.flow.maskflownet import local_correlation
+
+    rs = np.random.RandomState(0)
+    f1 = jnp.asarray(rs.rand(2, 6, 7, 3), jnp.float32)
+    f2 = jnp.asarray(rs.rand(2, 6, 7, 3), jnp.float32)
+    md = 2
+    out = np.asarray(local_correlation(f1, f2, md))
+    side = 2 * md + 1
+    assert out.shape == (2, 6, 7, side * side)
+    a1, a2 = np.asarray(f1), np.asarray(f2)
+    for b in (0, 1):
+        for y in (0, 3, 5):
+            for x in (0, 4, 6):
+                for dy in (-2, 0, 1):
+                    for dx in (-1, 0, 2):
+                        yy, xx = y + dy, x + dx
+                        want = (
+                            np.mean(a1[b, y, x] * a2[b, yy, xx])
+                            if 0 <= yy < 6 and 0 <= xx < 7 else 0.0
+                        )
+                        k = (dy + md) * side + (dx + md)
+                        np.testing.assert_allclose(
+                            out[b, y, x, k], want, rtol=1e-5, atol=1e-6)
+
+
+def test_triangle_resample_preserves_constants():
+    from mgldvsr_tpu.flow.maskflownet import downsample2d, upsample2d
+
+    x = jnp.full((1, 8, 8, 2), 3.25, jnp.float32)
+    up = upsample2d(x, 2)
+    assert up.shape == (1, 16, 16, 2)
+    # interior of a constant image stays constant under triangle interpolation
+    np.testing.assert_allclose(np.asarray(up)[0, 2:-2, 2:-2], 3.25, rtol=1e-5)
+    down = downsample2d(jnp.full((1, 16, 16, 1), -1.5, jnp.float32), 2)
+    assert down.shape == (1, 8, 8, 1)
+    # normalized kernel => exactly constant everywhere (incl. borders)
+    np.testing.assert_allclose(np.asarray(down), -1.5, rtol=1e-5)
+
+
+def test_maskflownet_forward_shapes_and_scale_equivariance():
+    from mgldvsr_tpu.flow.maskflownet import MaskFlownetS
+
+    net = MaskFlownetS()
+    rs = np.random.RandomState(1)
+    ref = jnp.asarray(rs.rand(1, 96, 128, 3), jnp.float32)
+    sup = jnp.asarray(rs.rand(1, 96, 128, 3), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), ref, sup)
+    flow = net.apply(params, ref, sup)
+    assert flow.shape == (1, 96, 128, 2)
+    assert np.isfinite(np.asarray(flow)).all()
+    # brightness-shift invariance from centralize(): adding a constant to
+    # both frames must not change the flow
+    flow2 = net.apply(params, ref + 0.3, sup + 0.3)
+    np.testing.assert_allclose(np.asarray(flow), np.asarray(flow2),
+                               rtol=1e-4, atol=1e-4)

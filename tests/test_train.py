@@ -140,3 +140,60 @@ def test_with_ema_swaps_trainables():
     f0 = traverse_util.flatten_dict(full, sep="/")
     p0 = traverse_util.flatten_dict(params, sep="/")
     assert set(f0) == set(p0)
+
+
+def test_use_checkpoint_remat_matches_plain():
+    """Activation remat (use_checkpoint) must not change values or grads —
+    identical param tree, identical forward, matching backward."""
+    import dataclasses
+
+    from mgldvsr_tpu.models.unet import (
+        InflatedUNetDualCond,
+        StructCondEncoder,
+        StructCondConfig,
+        UNetConfig,
+    )
+
+    ucfg = UNetConfig(
+        model_channels=32, num_head_channels=16, context_dim=32,
+        semb_channels=32, channel_mult=(1, 2), attention_resolutions=(1, 2),
+        num_frames=5,
+    )
+    scfg = StructCondConfig(
+        model_channels=32, out_channels=32, channel_mult=(1, 1),
+        attention_resolutions=(1, 2), num_frames=5,
+    )
+    unet = InflatedUNetDualCond(ucfg)
+    unet_r = InflatedUNetDualCond(dataclasses.replace(ucfg, use_checkpoint=True))
+    sc = StructCondEncoder(scfg)
+    sc_r = StructCondEncoder(dataclasses.replace(scfg, use_checkpoint=True))
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (5, 8, 8, 4))
+    t = jnp.full((5,), 7, jnp.int32)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (5, 3, 32))
+    zlq = jax.random.normal(jax.random.PRNGKey(3), (5, 8, 8, 4))
+
+    sp = sc.init(rng, zlq, t)
+    sp_r = sc_r.init(rng, zlq, t)
+    s_cond = sc.apply(sp, zlq, t)
+    up = unet.init(rng, x, t, ctx, s_cond)
+    up_r = unet_r.init(rng, x, t, ctx, s_cond)
+
+    # identical param trees (remat must not change init or naming)
+    for a, b in zip(jax.tree_util.tree_leaves(up), jax.tree_util.tree_leaves(up_r)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(sp), jax.tree_util.tree_leaves(sp_r)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    def loss(params, mod_u, mod_s):
+        cond = mod_s.apply(params["s"], zlq, t)
+        out = mod_u.apply(params["u"], x, t, ctx, cond)
+        return jnp.mean(out ** 2)
+
+    p = {"u": up, "s": sp}
+    l0, g0 = jax.value_and_grad(loss)(p, unet, sc)
+    l1, g1 = jax.value_and_grad(loss)(p, unet_r, sc_r)
+    assert np.allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
