@@ -34,6 +34,28 @@ def build_pipeline(args):
     from mgldvsr_tpu.models.vae import VAEConfig
 
     dt = jnp.bfloat16 if args.bf16 else jnp.float32
+    if args.preset == "tiny":
+        # CI/smoke config: same graph shapes, 10x smaller widths
+        cfg = PipelineConfig(
+            ddpm_steps=args.ddpm_steps,
+            guidance_scale=args.guidance,
+            dec_w=args.dec_w,
+            colorfix=args.colorfix,
+            unet=UNetConfig(model_channels=32, num_head_channels=16,
+                            context_dim=32, semb_channels=32,
+                            channel_mult=(1, 2), attention_resolutions=(1, 2),
+                            dtype=dt),
+            structcond=StructCondConfig(model_channels=32, out_channels=32,
+                                        channel_mult=(1, 1),
+                                        attention_resolutions=(1, 2),
+                                        dtype=dt),
+            vae=VAEConfig(ch=32, ch_mult=(1, 1, 2, 2), num_res_blocks=1,
+                          num_frames=5, enable_fusion=True, num_fuse_block=1,
+                          dtype=dt),
+            clip=CLIPTextConfig(width=32, heads=2, layers=2, dtype=dt),
+            raft=RAFTConfig(iters=2),
+        )
+        return MGLDVSRPipeline(cfg)
     cfg = PipelineConfig(
         ddpm_steps=args.ddpm_steps,
         guidance_scale=args.guidance,
@@ -102,6 +124,8 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--no-bf16", dest="bf16", action="store_false")
+    ap.add_argument("--preset", choices=["full", "tiny"], default="full",
+                    help="'tiny' = smoke-test widths (random weights)")
     args = ap.parse_args(argv)
 
     import cv2

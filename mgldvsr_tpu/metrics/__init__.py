@@ -5,7 +5,7 @@ from mgldvsr_tpu.metrics.image import (
     psnr_jnp,
     ssim_jnp,
 )
-from mgldvsr_tpu.metrics.niqe import calculate_niqe
+from mgldvsr_tpu.metrics.niqe import calculate_niqe, fit_niqe_params
 from mgldvsr_tpu.metrics.fid import (
     calculate_activation_statistics,
     calculate_fid,

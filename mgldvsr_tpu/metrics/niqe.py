@@ -118,17 +118,82 @@ def niqe_core(
     return float(np.sqrt(diff @ invcov @ diff.T))
 
 
+def _image_features(img: np.ndarray, block_size: int = 96) -> np.ndarray:
+    """Per-block 36-dim NIQE features (both scales) for one gray image."""
+    gaussian_window = _default_gaussian_window()
+    h, w = img.shape
+    num_block_h = math.floor(h / block_size)
+    num_block_w = math.floor(w / block_size)
+    img = img[: num_block_h * block_size, : num_block_w * block_size]
+    distparam = []
+    for scale in (1, 2):
+        mu = cv2.filter2D(img, -1, gaussian_window,
+                          borderType=cv2.BORDER_REPLICATE)
+        sigma = np.sqrt(np.abs(
+            cv2.filter2D(img**2, -1, gaussian_window,
+                         borderType=cv2.BORDER_REPLICATE) - mu**2))
+        img_norm = (img - mu) / (sigma + 1)
+        bs = block_size // scale
+        feats = [
+            compute_feature(
+                img_norm[i * bs : (i + 1) * bs, j * bs : (j + 1) * bs])
+            for i in range(num_block_h) for j in range(num_block_w)
+        ]
+        distparam.append(np.array(feats))
+        if scale == 1:
+            img = cv2.resize(img / 255.0, (w // 2, h // 2),
+                             interpolation=cv2.INTER_LINEAR) * 255.0
+    return np.concatenate(distparam, axis=1)
+
+
+def fit_niqe_params(images, out_path: Optional[str] = None,
+                    block_size: int = 96):
+    """Fit the pristine multivariate-Gaussian model from pristine images.
+
+    The reference ships ``niqe_pris_params.npz`` as a binary data asset
+    (basicsr/metrics/niqe.py:174); this utility regenerates an equivalent
+    model from any folder/list of pristine gray [0,255] images so the
+    metric is self-contained.
+
+    Args:
+      images: iterable of HxW float64 gray images in [0,255] (e.g. the 125
+        pristine images of the original NIQE corpus).
+      out_path: optional .npz destination (keys mu_pris_param,
+        cov_pris_param, gaussian_window — loadable by calculate_niqe).
+    Returns (mu_pris_param, cov_pris_param, gaussian_window).
+    """
+    assert cv2 is not None, "cv2 required for NIQE fitting"
+    feats = np.concatenate(
+        [_image_features(np.asarray(im, np.float64), block_size)
+         for im in images], axis=0)
+    feats = feats[~np.isnan(feats).any(axis=1)]
+    mu = np.mean(feats, axis=0)
+    cov = np.cov(feats, rowvar=False)
+    gw = _default_gaussian_window()
+    if out_path:
+        np.savez(out_path, mu_pris_param=mu, cov_pris_param=cov,
+                 gaussian_window=gw)
+    return mu, cov, gw
+
+
 def calculate_niqe(
     img: np.ndarray,
     crop_border: int = 0,
     params_path: Optional[str] = None,
     convert_to: str = "y",
 ) -> float:
-    """img: [0,255] HWC uint8/float. Needs the pristine params npz."""
+    """img: [0,255] HWC uint8/float. Needs the pristine params npz
+    (pass ``params_path``, set ``MGLD_NIQE_PARAMS``, or fit your own with
+    :func:`fit_niqe_params`)."""
+    if params_path is None:
+        import os
+
+        params_path = os.environ.get("MGLD_NIQE_PARAMS")
     if params_path is None:
         raise ValueError(
             "NIQE needs the pristine model parameters "
-            "(niqe_pris_params.npz); pass params_path"
+            "(niqe_pris_params.npz); pass params_path, set "
+            "MGLD_NIQE_PARAMS, or create one with fit_niqe_params()"
         )
     data = np.load(params_path)
     mu_pris = data["mu_pris_param"]

@@ -20,8 +20,10 @@ Dtype = Any
 
 
 def group_norm(num_groups: int = 32, eps: float = 1e-5, dtype: Dtype = jnp.float32):
-    # Norm statistics in fp32 for stability regardless of compute dtype.
-    return nn.GroupNorm(num_groups=num_groups, epsilon=eps, dtype=jnp.float32,
+    # Output in the compute dtype: flax always reduces the statistics in
+    # fp32 internally, so a bf16 ``dtype`` halves the GN(+SiLU) HBM traffic
+    # without losing stat precision (verified: <=1 bf16 ulp vs fp32 output).
+    return nn.GroupNorm(num_groups=num_groups, epsilon=eps, dtype=dtype,
                         param_dtype=jnp.float32)
 
 

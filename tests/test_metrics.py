@@ -1,5 +1,6 @@
 """Metric tests: PSNR/SSIM vs skimage/analytic values, FID sanity, NIQE
 machinery, E*warp on synthetic motion."""
+import cv2
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -14,6 +15,7 @@ from mgldvsr_tpu.metrics import (
     ssim_jnp,
 )
 from mgldvsr_tpu.metrics.niqe import (
+    calculate_niqe,
     compute_feature,
     estimate_aggd_param,
     niqe_core,
@@ -98,3 +100,34 @@ def test_ewarp_static_vs_noisy():
     )
     e_noisy = calculate_ewarp(noisy, zero_flownet)
     assert e_noisy > 1e-4
+
+
+def test_fit_niqe_params_and_score_roundtrip(tmp_path):
+    """Fit a pristine model from synthetic natural-ish images, save, and
+    score through calculate_niqe: pristine-like images must score lower
+    (better) than heavily degraded ones under the fitted model."""
+    from mgldvsr_tpu.metrics.niqe import fit_niqe_params
+
+    rs = np.random.RandomState(0)
+
+    def natural(seed):
+        rs = np.random.RandomState(seed)
+        base = rs.rand(24, 24) * 255
+        img = cv2.resize(base, (192, 192), interpolation=cv2.INTER_CUBIC)
+        return np.clip(img + rs.randn(192, 192) * 2, 0, 255)
+
+    pristine = [natural(i) for i in range(6)]
+    path = str(tmp_path / "pris.npz")
+    mu, cov, gw = fit_niqe_params(pristine, path)
+    assert mu.shape == (36,) and cov.shape == (36, 36) and gw.shape == (7, 7)
+
+    good = natural(100)[..., None].repeat(3, axis=2)
+    blocky = natural(101)
+    blocky = cv2.resize(cv2.resize(blocky, (24, 24),
+                                   interpolation=cv2.INTER_NEAREST),
+                        (192, 192), interpolation=cv2.INTER_NEAREST)
+    bad = blocky[..., None].repeat(3, axis=2)
+    s_good = calculate_niqe(good, params_path=path)
+    s_bad = calculate_niqe(bad, params_path=path)
+    assert np.isfinite(s_good) and np.isfinite(s_bad)
+    assert s_good < s_bad

@@ -1,0 +1,156 @@
+"""Decompose the per-step cost of the flagship restore path on real hardware.
+
+Times each sub-program of the 50x denoise loop independently:
+  structcond fwd | unet fwd | denoise (both) | guidance grad | full p_sample
+plus the prep stages (VAE encode, RAFT flows, VAE decode).
+
+Usage:
+  python tools/microbench.py [--size 512] [--stage all|denoise|prep]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/mgld_tpu_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timeit(fn, *args, iters=10, warmup=2):
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--frames", type=int, default=5)
+    ap.add_argument("--stage", default="all",
+                    choices=["all", "denoise", "prep", "guidance", "canvas",
+                             "raft"])
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mgldvsr_tpu.core.diffusion import SamplerConfig, p_sample, temporal_warp_loss
+    from mgldvsr_tpu.flow.raft import RAFTConfig
+    from mgldvsr_tpu.infer.pipeline import MGLDVSRPipeline, PipelineConfig
+    from mgldvsr_tpu.models.cliptext import CLIPTextConfig
+    from mgldvsr_tpu.models.unet import StructCondConfig, UNetConfig
+    from mgldvsr_tpu.models.vae import VAEConfig
+
+    t, size = args.frames, args.size
+    cfg = PipelineConfig(
+        num_frames=t,
+        unet=UNetConfig(num_frames=t, dtype=jnp.bfloat16),
+        structcond=StructCondConfig(num_frames=t, dtype=jnp.bfloat16),
+        vae=VAEConfig(num_frames=t, enable_fusion=True, dtype=jnp.bfloat16),
+        clip=CLIPTextConfig(dtype=jnp.bfloat16),
+        raft=RAFTConfig(iters=10),
+    )
+    pipe = MGLDVSRPipeline(cfg)
+    params = pipe.init_params(jax.random.PRNGKey(0), size, size)
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
+
+    hl = size // 8
+    lat = jax.random.normal(jax.random.PRNGKey(1), (t, hl, hl, 4))
+    tsteps = jnp.full((t,), 500, jnp.int32)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (t, 77, cfg.clip.width))
+    frames = jax.random.uniform(jax.random.PRNGKey(3), (t, size, size, 3))
+
+    res = {}
+
+    if args.stage in ("all", "denoise"):
+        sc_fwd = jax.jit(lambda p, z, ts: pipe.structcond.apply(p, z, ts))
+        res["structcond_fwd"] = timeit(sc_fwd, params["structcond"], lat,
+                                       tsteps, iters=args.iters)
+        s_cond = sc_fwd(params["structcond"], lat, tsteps)
+        unet_fwd = jax.jit(
+            lambda p, x, ts, c, sc: pipe.unet.apply(p, x, ts, c, sc))
+        res["unet_fwd"] = timeit(unet_fwd, params["unet"], lat, tsteps, ctx,
+                                 s_cond, iters=args.iters)
+        den = jax.jit(lambda p, x, ts: pipe.denoise_fn(p, lat, ctx)(x, ts))
+        res["denoise_both"] = timeit(den, params, lat, tsteps, iters=args.iters)
+
+    if args.stage in ("all", "guidance", "denoise"):
+        flows, masks = jax.jit(pipe.compute_flows)(params, frames)
+        gfn = jax.jit(jax.grad(lambda l: temporal_warp_loss(
+            l, flows, masks, t, "reference")))
+        res["guidance_grad"] = timeit(gfn, lat, iters=args.iters)
+
+        scfg = SamplerConfig(num_frames=t)
+        full = jax.jit(lambda p, x, k: p_sample(
+            pipe.sched, pipe.denoise_fn(p, lat, ctx), x,
+            jnp.asarray(25, jnp.int32), k, scfg, flows, masks))
+        res["p_sample_full"] = timeit(full, params, lat,
+                                      jax.random.PRNGKey(5), iters=args.iters)
+
+    if args.stage in ("all", "prep"):
+        enc = jax.jit(lambda p, f, k: pipe.encode(p, f, k))
+        res["vae_encode"] = timeit(enc, params, frames * 2 - 1,
+                                   jax.random.PRNGKey(4), iters=args.iters)
+        z, fea = enc(params, frames * 2 - 1, jax.random.PRNGKey(4))
+        res["raft_flows"] = timeit(jax.jit(pipe.compute_flows), params,
+                                   frames, iters=args.iters)
+        dec = jax.jit(lambda p, z, fea: pipe.decode(p, z, fea))
+        res["vae_decode"] = timeit(dec, params, z, fea, iters=args.iters)
+        res["clip_embed"] = timeit(
+            jax.jit(lambda p: pipe.embed_empty_prompt(p, t)), params,
+            iters=args.iters)
+
+    if args.stage == "raft":
+        # Isolate per-iteration cost: fixed = encoders + corr build +
+        # convex upsample; slope = lookup + GRU update.
+        import dataclasses as dc
+
+        from mgldvsr_tpu.flow.raft import RAFT
+
+        hs = int(size * cfg.flow_scale)
+        pair = jax.random.uniform(jax.random.PRNGKey(8), (8, hs, hs, 3))
+        for it in (1, 10):
+            net = RAFT(dc.replace(cfg.raft, iters=it))
+            fn = jax.jit(lambda p, a, b, n=net: n.apply(p, a, b))
+            res[f"raft_{it}it_b8"] = timeit(fn, params["raft"], pair, pair,
+                                            iters=args.iters)
+        per_it = (res["raft_10it_b8"] - res["raft_1it_b8"]) / 9
+        res["raft_per_iter"] = per_it
+        res["raft_fixed"] = res["raft_1it_b8"] - per_it
+
+    if args.stage == "canvas":
+        # Tiled (canvas) restore protocol at a non-native size: 768px input
+        # -> 96x96 latent, 64-tile/32-overlap grid (4 tiles, batched).
+        size_c = 768
+        frames_c = jax.random.uniform(jax.random.PRNGKey(6),
+                                      (t, size_c, size_c, 3))
+        fn = jax.jit(lambda p, f, k: pipe.restore_segment_canvas(p, f, k))
+        res["canvas_restore"] = timeit(fn, params, frames_c,
+                                       jax.random.PRNGKey(7), iters=3,
+                                       warmup=1)
+        res["canvas_fps"] = t / res["canvas_restore"]
+
+    for k, v in res.items():
+        print(f"{k:18s} {v * 1e3:9.2f} ms")
+    if "denoise_both" in res and "p_sample_full" in res:
+        print(f"{'50-step denoise est':18s} {res['p_sample_full'] * 50:9.2f} s"
+              .replace("ms", "s"))
+
+
+if __name__ == "__main__":
+    main()
