@@ -285,6 +285,9 @@ class RAFTConfig:
     corr_levels: int = 4
     corr_radius: int = 4
     iters: int = 10
+    # "xla": vmapped dynamic_slice block gather; "pallas": VMEM-resident
+    # window extraction kernel (ops/pallas/corr_lookup.py)
+    lookup_impl: str = "xla"
 
 
 class RAFT(nn.Module):
@@ -330,6 +333,13 @@ class RAFT(nn.Module):
         # lax.scan over iterations via nn.scan: the GRU weights are shared,
         # so the compiled program contains ONE update step instead of a
         # 10x unroll — ~10x smaller XLA program, same math.
+        lookup_impl = cfg.lookup_impl
+        if lookup_impl == "pallas":
+            from mgldvsr_tpu.ops.pallas.corr_lookup import pad_pyramid
+
+            # pad once; the padded maps are scan-carried constants
+            pyramid = pad_pyramid(pyramid, cfg.corr_radius)
+
         class _Step(nn.Module):
             radius: int
             hidden: int
@@ -339,7 +349,14 @@ class RAFT(nn.Module):
             def __call__(self, carry, _):
                 net_c, coords1, inp_c, coords0_c, *pyr = carry
                 coords1 = jax.lax.stop_gradient(coords1)
-                corr = lookup_corr(pyr, coords1, self.radius)
+                if lookup_impl == "pallas":
+                    from mgldvsr_tpu.ops.pallas.corr_lookup import (
+                        lookup_corr_pallas,
+                    )
+
+                    corr = lookup_corr_pallas(pyr, coords1, self.radius)
+                else:
+                    corr = lookup_corr(pyr, coords1, self.radius)
                 flow = coords1 - coords0_c
                 net_c, mask, dflow = BasicUpdateBlock(
                     self.planes, self.hidden, name="update_block"

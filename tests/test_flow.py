@@ -217,3 +217,23 @@ def test_maskflownet_forward_shapes_and_scale_equivariance():
     flow2 = net.apply(params, ref + 0.3, sup + 0.3)
     np.testing.assert_allclose(np.asarray(flow), np.asarray(flow2),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_raft_pallas_lookup_matches_xla():
+    """RAFT with the Pallas window-lookup kernel (interpret mode on CPU)
+    must produce the same flow as the XLA block-gather implementation."""
+    import dataclasses
+
+    from mgldvsr_tpu.flow.raft import RAFT, RAFTConfig
+
+    cfg = RAFTConfig(iters=2)
+    rs = np.random.RandomState(3)
+    ref = jnp.asarray(rs.rand(1, 48, 64, 3), jnp.float32)
+    sup = jnp.asarray(rs.rand(1, 48, 64, 3), jnp.float32)
+    net_x = RAFT(cfg)
+    net_p = RAFT(dataclasses.replace(cfg, lookup_impl="pallas"))
+    params = net_x.init(jax.random.PRNGKey(0), ref, sup)
+    fx = net_x.apply(params, ref, sup)
+    fp = net_p.apply(params, ref, sup)
+    np.testing.assert_allclose(np.asarray(fx), np.asarray(fp),
+                               rtol=1e-4, atol=1e-4)

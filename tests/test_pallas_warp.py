@@ -61,3 +61,27 @@ def test_flow_warp_guided_dx_matmul_matches():
         lambda f: (flow_warp_guided(x, f, True) ** 2).sum()
     )(flow)
     assert float(jnp.abs(gf).max()) == 0.0
+
+
+def test_pallas_corr_lookup_matches_xla_reference():
+    """Interpret-mode Pallas window lookup == the XLA block-gather lookup,
+    including bilinear blending, level scaling, and far-out-of-range zeros."""
+    from mgldvsr_tpu.flow.raft import build_corr_pyramid, lookup_corr
+    from mgldvsr_tpu.ops.pallas.corr_lookup import (
+        lookup_corr_pallas,
+        pad_pyramid,
+    )
+
+    rs = np.random.RandomState(0)
+    b, h, w, c = 2, 8, 8, 16
+    f1 = jnp.asarray(rs.randn(b, h, w, c), jnp.float32)
+    f2 = jnp.asarray(rs.randn(b, h, w, c), jnp.float32)
+    pyr = build_corr_pyramid(f1, f2, num_levels=3)
+
+    coords = jnp.asarray(
+        rs.rand(b, h, w, 2) * 14 - 3, jnp.float32)  # includes out-of-range
+    want = lookup_corr(pyr, coords, radius=2)
+    got = lookup_corr_pallas(pad_pyramid(pyr, radius=2), coords, radius=2,
+                             q_block=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

@@ -124,14 +124,15 @@ def main():
 
         hs = int(size * cfg.flow_scale)
         pair = jax.random.uniform(jax.random.PRNGKey(8), (8, hs, hs, 3))
-        for it in (1, 10):
-            net = RAFT(dc.replace(cfg.raft, iters=it))
-            fn = jax.jit(lambda p, a, b, n=net: n.apply(p, a, b))
-            res[f"raft_{it}it_b8"] = timeit(fn, params["raft"], pair, pair,
-                                            iters=args.iters)
-        per_it = (res["raft_10it_b8"] - res["raft_1it_b8"]) / 9
-        res["raft_per_iter"] = per_it
-        res["raft_fixed"] = res["raft_1it_b8"] - per_it
+        for impl in ("xla", "pallas"):
+            for it in (1, 10):
+                net = RAFT(dc.replace(cfg.raft, iters=it, lookup_impl=impl))
+                fn = jax.jit(lambda p, a, b, n=net: n.apply(p, a, b))
+                res[f"raft_{impl}_{it}it_b8"] = timeit(
+                    fn, params["raft"], pair, pair, iters=args.iters)
+            per_it = (res[f"raft_{impl}_10it_b8"]
+                      - res[f"raft_{impl}_1it_b8"]) / 9
+            res[f"raft_{impl}_per_iter"] = per_it
 
     if args.stage == "canvas":
         # Tiled (canvas) restore protocol at a non-native size: 768px input
