@@ -285,9 +285,12 @@ class RAFTConfig:
     corr_levels: int = 4
     corr_radius: int = 4
     iters: int = 10
-    # "xla": vmapped dynamic_slice block gather; "pallas": VMEM-resident
-    # window extraction kernel (ops/pallas/corr_lookup.py)
-    lookup_impl: str = "xla"
+    # "auto": Pallas on TPU, XLA elsewhere. "xla": vmapped dynamic_slice
+    # block gather; "pallas": VMEM-resident window extraction kernel
+    # (ops/pallas/corr_lookup.py) — measured 20x faster per iteration on
+    # v5e (88.6 -> 4.3 ms at the 512px workload; full 10-iter RAFT
+    # 906 -> 85 ms).
+    lookup_impl: str = "auto"
 
 
 class RAFT(nn.Module):
@@ -334,6 +337,9 @@ class RAFT(nn.Module):
         # so the compiled program contains ONE update step instead of a
         # 10x unroll — ~10x smaller XLA program, same math.
         lookup_impl = cfg.lookup_impl
+        if lookup_impl == "auto":
+            lookup_impl = ("pallas" if jax.default_backend() == "tpu"
+                           else "xla")
         if lookup_impl == "pallas":
             from mgldvsr_tpu.ops.pallas.corr_lookup import pad_pyramid
 

@@ -5,15 +5,19 @@ query pixel q, sample a (2r+1)^2 window around its current flow estimate
 from q's OWN correlation map (row q of the all-pairs volume), bilinearly.
 
 XLA lowers the vmapped ``dynamic_slice`` formulation to a scattered gather
-(B*N descriptors per level per iteration — gather-unit bound). Here each
-grid program holds a block of Q query maps VMEM-resident (pre-padded on the
-host, once per RAFT call since the pyramid is scan-carried) and extracts all
-Q windows with VMEM-local dynamic slices inside a ``fori_loop`` — no HBM
-gather at all.
+(B*N descriptors per level per iteration — gather-unit bound; measured
+88 ms/iteration on v5e at the 512px workload). Here each grid program holds
+a block of Q query maps VMEM-resident (pre-padded on the host, once per RAFT
+call since the pyramid is scan-carried) and extracts all Q windows with
+VMEM-local reads — no HBM gather at all.
 
-Mosaic constraints respected: all reshapes/index math stay >=2-D; the
-integer window slice is (2r+2)x(2r+2) so the four bilinear corners are
-static sub-slices.
+Mosaic constraints respected:
+- no value-level ``dynamic_slice`` (unsupported primitive): the row slice is
+  a ref-level ``pl.ds`` load with dynamic start on the *sublane* dim;
+- the lane-dim (column) dynamic start is a one-hot column-select matmul
+  (``[side, Wp] @ [Wp, side]`` per query) instead of a dynamic lane offset;
+- window starts are precomputed on the host into SMEM (scalars);
+- all index math stays >= 2-D.
 """
 from __future__ import annotations
 
@@ -25,55 +29,51 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _lookup_kernel(corr_ref, coords_ref, out_ref, *, radius: int):
-    """corr_ref: [1, Q, Hp, Wp] (padded maps); coords_ref: [1, Q, 2] level
-    -scaled centers; out_ref: [1, Q, win+1, win+1] integer-grid patches."""
-    r = radius
+def _lookup_kernel(starts_ref, corr_ref, out_ref, *, side: int):
+    """starts_ref (SMEM): [1, Q, 2] int32 (sy, sx) clamped window starts in
+    padded-map coordinates; corr_ref: [1, Q, Hp, Wp]; out_ref: [1, Q, side,
+    side] integer-grid patches (side = 2r+2)."""
     q = corr_ref.shape[1]
-    side = 2 * r + 2
+    wp = corr_ref.shape[3]
+    # one-hot column selector built once per program: sel[m, j] = m == sx + j
+    m_iota = jax.lax.broadcasted_iota(jnp.int32, (wp, side), 0)
+    j_iota = jax.lax.broadcasted_iota(jnp.int32, (wp, side), 1)
 
     def body(i, _):
-        # centers in level units; padded map origin is at (pad, pad)
-        cx = coords_ref[0, i, 0]
-        cy = coords_ref[0, i, 1]
-        x0 = jnp.floor(cx).astype(jnp.int32)
-        y0 = jnp.floor(cy).astype(jnp.int32)
-        hp = corr_ref.shape[2]
-        wp = corr_ref.shape[3]
-        pad = 2 * r + 3
-        # clamp exactly like the XLA path: far-out windows land fully in the
-        # zero padding
-        sy = jnp.clip(y0, -r - 2, (hp - 2 * pad) + r + 1) - r + pad
-        sx = jnp.clip(x0, -r - 2, (wp - 2 * pad) + r + 1) - r + pad
-        patch = jax.lax.dynamic_slice(
-            corr_ref[0, i], (sy, sx), (side, side))
-        out_ref[0, i] = patch
+        sy = starts_ref[0, i, 0]
+        sx = starts_ref[0, i, 1]
+        rows = corr_ref[0, i, pl.ds(sy, side), :]  # [side, Wp]
+        sel = (m_iota == sx + j_iota).astype(rows.dtype)  # [Wp, side]
+        out_ref[0, i] = jnp.dot(rows, sel,
+                                preferred_element_type=jnp.float32
+                                ).astype(out_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, q, body, 0)
 
 
-def _pallas_window_patches(corr_pad: jnp.ndarray, coords: jnp.ndarray,
+def _pallas_window_patches(corr_pad: jnp.ndarray, starts: jnp.ndarray,
                            radius: int, q_block: int,
                            interpret: bool = False) -> jnp.ndarray:
-    """corr_pad: [B, N, Hp, Wp]; coords: [B, N, 2] -> [B, N, 2r+2, 2r+2]."""
+    """corr_pad: [B, N, Hp, Wp]; starts: [B, N, 2] int32 (sy, sx) ->
+    [B, N, 2r+2, 2r+2]."""
     b, n, hp, wp = corr_pad.shape
     side = 2 * radius + 2
     qb = q_block if n % q_block == 0 else n
     return pl.pallas_call(
-        partial(_lookup_kernel, radius=radius),
+        partial(_lookup_kernel, side=side),
         grid=(b, n // qb),
         in_specs=[
-            pl.BlockSpec((1, qb, hp, wp), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, qb, 2), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, qb, hp, wp), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, qb, side, side), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, side, side), corr_pad.dtype),
         interpret=interpret,
-    )(corr_pad, coords)
+    )(starts, corr_pad)
 
 
 def pad_pyramid(pyramid, radius: int = 4):
@@ -89,7 +89,7 @@ def lookup_corr_pallas(padded_pyramid, coords: jnp.ndarray, radius: int = 4,
     """Drop-in replacement for flow.raft.lookup_corr, consuming a pre-padded
     pyramid. coords: [B, H, W, 2] level-0 (x, y) centers. Returns
     [B, H, W, levels*(2r+1)^2] with the same bilinear blend + zeros-outside
-    semantics.
+    semantics (clamped far-out windows land entirely in the zero padding).
     """
     if interpret is None:  # auto: emulate off-TPU (tests/CPU dev)
         interpret = jax.default_backend() != "tpu"
@@ -97,14 +97,21 @@ def lookup_corr_pallas(padded_pyramid, coords: jnp.ndarray, radius: int = 4,
     n = h * w
     r = radius
     win = 2 * r + 1
+    pad = 2 * r + 3
 
     out = []
     for lvl, cp in enumerate(padded_pyramid):
+        hl = cp.shape[2] - 2 * pad
+        wl = cp.shape[3] - 2 * pad
         ctr = coords.reshape(b, n, 2) / (2 ** lvl)
-        frac = ctr - jnp.floor(ctr)
-        tx = frac[..., 0][..., None, None].astype(cp.dtype)
-        ty = frac[..., 1][..., None, None].astype(cp.dtype)
-        patch = _pallas_window_patches(cp, ctr, r, q_block, interpret)
+        x0 = jnp.floor(ctr[..., 0])
+        y0 = jnp.floor(ctr[..., 1])
+        tx = (ctr[..., 0] - x0)[..., None, None].astype(cp.dtype)
+        ty = (ctr[..., 1] - y0)[..., None, None].astype(cp.dtype)
+        sx = jnp.clip(x0.astype(jnp.int32), -r - 2, wl + r + 1) - r + pad
+        sy = jnp.clip(y0.astype(jnp.int32), -r - 2, hl + r + 1) - r + pad
+        starts = jnp.stack([sy, sx], axis=-1)  # [B, N, 2] int32
+        patch = _pallas_window_patches(cp, starts, r, q_block, interpret)
         pa = patch[..., :win, :win]
         pb = patch[..., :win, 1:]
         pc = patch[..., 1:, :win]

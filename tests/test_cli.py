@@ -44,3 +44,32 @@ def test_infer_cli_latent_dump_tiny(tmp_path):
     assert len(pngs) == 5 and len(npys) == 5
     lat = np.load(os.path.join(out, "seq0", npys[0]))
     assert lat.shape[-1] == 4 and np.isfinite(lat).all()
+
+
+def test_prepare_data_sub_images(tmp_path):
+    from mgldvsr_tpu.cli.prepare_data import main
+
+    src = tmp_path / "gt" / "clip0"
+    os.makedirs(src)
+    rs = np.random.RandomState(0)
+    cv2.imwrite(str(src / "frame0.png"),
+                rs.randint(0, 255, (100, 130, 3), np.uint8))
+    out = str(tmp_path / "sub")
+    meta = str(tmp_path / "meta.txt")
+    main(["--input", str(tmp_path / "gt"), "--output", out,
+          "--crop-size", "64", "--step", "32", "--thresh-size", "8",
+          "--workers", "1", "--meta-info", meta])
+    names = sorted(os.listdir(os.path.join(out, "clip0")))
+    # rows: starts 0, 32 (remainder 4 <= 8); cols: 0, 32, 64 (remainder 2)
+    assert len(names) == 2 * 3
+    img = cv2.imread(os.path.join(out, "clip0", names[0]))
+    assert img.shape == (64, 64, 3)
+    lines = open(meta).read().strip().splitlines()
+    assert len(lines) == 6 and lines[0].startswith("clip0/")
+
+    # flush-right window appears when the remainder exceeds the threshold
+    from mgldvsr_tpu.cli.prepare_data import _crop_positions
+
+    assert _crop_positions(100, 64, 32, 3) == [0, 32, 36]
+    assert _crop_positions(100, 64, 32, 8) == [0, 32]
+    assert _crop_positions(50, 64, 32, 8) == [0]

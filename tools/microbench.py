@@ -40,7 +40,7 @@ def main():
     ap.add_argument("--frames", type=int, default=5)
     ap.add_argument("--stage", default="all",
                     choices=["all", "denoise", "prep", "guidance", "canvas",
-                             "raft"])
+                             "raft", "vae"])
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
 
@@ -114,6 +114,33 @@ def main():
         res["clip_embed"] = timeit(
             jax.jit(lambda p: pipe.embed_empty_prompt(p, t)), params,
             iters=args.iters)
+
+    if args.stage == "vae":
+        # Isolate the temporal-conv cost: decode with num_frames=5 (temporal
+        # convs active) vs num_frames=1 (pure SD decoder), same fusion.
+        import dataclasses as dc
+
+        from mgldvsr_tpu.models.vae import VideoAutoencoderKLResi
+
+        z = jax.random.normal(jax.random.PRNGKey(9), (t, hl, hl, 4))
+        enc = jax.jit(lambda p, f, k: pipe.encode(p, f, k))
+        _, fea = enc(params, frames * 2 - 1, jax.random.PRNGKey(4))
+        dec5 = jax.jit(lambda p, z, fea: pipe.decode(p, z, fea))
+        res["decode_t5"] = timeit(dec5, params, z * 0.18215, fea,
+                                  iters=args.iters)
+
+        vae1 = VideoAutoencoderKLResi(dc.replace(cfg.vae, num_frames=1))
+        p1 = jax.eval_shape(
+            lambda: vae1.init(jax.random.PRNGKey(0), frames * 2 - 1, z))
+        from mgldvsr_tpu.infer.pipeline import _synthesize_leaves
+
+        p1 = _synthesize_leaves(p1, jax.random.PRNGKey(0))
+        p1 = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, p1)
+        dec1 = jax.jit(lambda p, z, fea: vae1.apply(
+            p, z, fea, 1.0, method="decode"))
+        res["decode_t1"] = timeit(dec1, p1, z, fea, iters=args.iters)
 
     if args.stage == "raft":
         # Isolate per-iteration cost: fixed = encoders + corr build +
