@@ -379,3 +379,58 @@ class DegradationStage:
         for t in self.transforms:
             results = t(results, rng)
         return results
+
+
+_DEGRADATION_TYPES = {
+    "RandomBlur": RandomBlur,
+    "RandomResize": RandomResize,
+    "RandomNoise": RandomNoise,
+    "RandomJPEGCompression": RandomJPEGCompression,
+    "RandomVideoCompression": RandomVideoCompression,
+}
+
+
+class DegradationsWithShuffle:
+    """Apply a list of degradations in a (partially) shuffled order.
+
+    Capability parity with DegradationsWithShuffle
+    (/root/reference/basicsr/data/mmcv_transforms/random_degradations.py:539
+    -606): nested groups keep their internal order; only the positions listed
+    in ``shuffle_idx`` (default: all) are permuted per call.
+
+    Args:
+      degradations: list of {'type': name, 'params': {...}} dicts, possibly
+        nested one level (groups).
+      keys: result-dict keys to transform.
+      shuffle_idx: indices eligible for shuffling (None = all).
+    """
+
+    def __init__(self, degradations, keys=("lqs",), shuffle_idx=None):
+        self.keys = tuple(keys)
+        self.degradations = self._build(list(degradations))
+        if shuffle_idx is None:
+            self.shuffle_idx = list(range(len(self.degradations)))
+        else:
+            self.shuffle_idx = list(shuffle_idx)
+
+    def _build(self, degradations):
+        built = []
+        for d in degradations:
+            if isinstance(d, (list, tuple)):
+                built.append(self._build(list(d)))
+            else:
+                built.append(_DEGRADATION_TYPES[d["type"]](d["params"],
+                                                           self.keys))
+        return built
+
+    def __call__(self, results, rng: np.random.RandomState):
+        order = list(self.degradations)
+        if self.shuffle_idx:
+            picked = [order[i] for i in self.shuffle_idx]
+            rng.shuffle(picked)
+            for i, idx in enumerate(self.shuffle_idx):
+                order[idx] = picked[i]
+        for d in order:
+            for sub in (d if isinstance(d, list) else [d]):
+                results = sub(results, rng)
+        return results

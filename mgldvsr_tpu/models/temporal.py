@@ -25,8 +25,29 @@ import jax.numpy as jnp
 Dtype = Any
 
 
+class _TemporalConvParams(nn.Module):
+    """Holds the (3,1,1) temporal-conv weights with nn.Conv-compatible param
+    names/shapes (kernel [3,1,1,C,C], bias [C]) so checkpoints/converters
+    are layout-stable while the compute uses a matmul formulation."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        c = self.features
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 1, 1, c, c), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return kernel, bias
+
+
 class SpatialTemporalConv(nn.Module):
-    """Per-pixel temporal conv (kernel 3 over T), alpha-blended residual."""
+    """Per-pixel temporal conv (kernel 3 over T), alpha-blended residual.
+
+    TPU note: expressed as three shifted [BTHW, C] @ [C, C] contractions
+    instead of a 3-spatial-dim XLA convolution — a (5, H, W) conv window
+    with batch 1 tiles poorly onto the MXU, while the per-tap matmuls are
+    its native shape."""
 
     num_frames: int
     dtype: Dtype = jnp.float32
@@ -36,17 +57,19 @@ class SpatialTemporalConv(nn.Module):
         bt, h, w, c = x.shape
         t = self.num_frames
         b = bt // t
-        v = x.reshape(b, t, h, w, c)
-        # Conv over the temporal axis only: treat (h, w) as extra spatial dims
-        # with kernel size 1.
-        res = nn.Conv(
-            c, kernel_size=(3, 1, 1), padding=((1, 1), (0, 0), (0, 0)),
-            dtype=self.dtype, param_dtype=jnp.float32, name="temporal_conv",
-        )(v)
-        res = res.reshape(bt, h, w, c)
+        kernel, bias = _TemporalConvParams(c, name="temporal_conv")()
+        kernel = kernel.astype(self.dtype)
+        v = x.reshape(b, t, h, w, c).astype(self.dtype)
+        vpad = jnp.pad(v, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+        res = None
+        for tap in range(3):
+            term = jnp.einsum("bthwc,cd->bthwd", vpad[:, tap : tap + t],
+                              kernel[tap, 0, 0])
+            res = term if res is None else res + term
+        res = (res + bias.astype(self.dtype)).reshape(bt, h, w, c)
         alpha = self.param("alpha", nn.initializers.zeros, (1,), jnp.float32)
         alpha = alpha.astype(x.dtype)
-        return alpha * res + (1 - alpha) * x
+        return alpha * res.astype(x.dtype) + (1 - alpha) * x
 
 
 class MultiDimTemporalConv(nn.Module):

@@ -289,3 +289,30 @@ def test_training_pair_queue():
     assert np.array_equal(out_lq[..., 0], out_lq[..., 1])
     # lq/gt stay paired
     assert np.array_equal(out_lq[:, 0, 0, 0], out_gt[:, 0, 0, 0])
+
+
+def test_degradations_with_shuffle_groups_and_partial_idx():
+    from mgldvsr_tpu.data.degradations import DegradationsWithShuffle
+
+    degs = [
+        {"type": "RandomBlur",
+         "params": {"kernel_size": [3], "kernel_list": ["iso"],
+                    "kernel_prob": [1.0], "sigma_x": [0.4, 0.4],
+                    "sigma_y": [0.4, 0.4], "rotate_angle": [-3.14, 3.14],
+                    "prob": 1.0}},
+        [{"type": "RandomResize",
+          "params": {"resize_mode_prob": [1, 0, 0], "resize_scale": [0.5, 0.5],
+                     "resize_opt": ["bilinear"], "resize_prob": [1.0],
+                     "prob": 1.0, "target_size": (8, 8)}},
+         {"type": "RandomJPEGCompression",
+          "params": {"quality": [80, 80], "prob": 1.0}}],
+    ]
+    pipe = DegradationsWithShuffle(degs, keys=("lqs",), shuffle_idx=[0, 1])
+    rs = np.random.RandomState(0)
+    frames = [np.random.RandomState(i).rand(16, 16, 3).astype(np.float32)
+              for i in range(3)]
+    out = pipe({"lqs": [f.copy() for f in frames]}, rs)
+    assert len(out["lqs"]) == 3
+    # the group's resize-to-8 must have run regardless of shuffle order
+    assert out["lqs"][0].shape == (8, 8, 3)
+    assert all(np.isfinite(f).all() for f in out["lqs"])
