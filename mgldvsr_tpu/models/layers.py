@@ -38,20 +38,32 @@ class GroupNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        import numpy as _np
+
         g = self.num_groups
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         dt = self.dtype
-        xg = x.astype(dt).reshape(*x.shape[:-1], g, c // g)
-        axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
-        mean = jnp.mean(xg, axis=axes, keepdims=True, dtype=jnp.float32)
-        mean2 = jnp.mean(xg * xg, axis=axes, keepdims=True, dtype=jnp.float32)
-        var = jnp.maximum(mean2 - mean * mean, 0.0)
+        x = x.astype(dt)
+        n = x.shape[0]
+        spatial = tuple(range(1, x.ndim - 1))
+        count = float(_np.prod(x.shape[1:-1]) * (c // g))
+        # Channel-wise sums first (clean reduction, no relayout of x); the
+        # group fold happens on the tiny [N, C] results only.
+        s1 = jnp.sum(x, axis=spatial, dtype=jnp.float32)        # [N, C]
+        s2 = jnp.sum(x * x, axis=spatial, dtype=jnp.float32)    # [N, C]
+        gs1 = s1.reshape(n, g, c // g).sum(-1, keepdims=True)
+        gs2 = s2.reshape(n, g, c // g).sum(-1, keepdims=True)
+        mean = gs1 / count
+        var = jnp.maximum(gs2 / count - mean * mean, 0.0)
         inv = jax.lax.rsqrt(var + self.epsilon)
-        y = (xg - mean.astype(dt)) * inv.astype(dt)
-        y = y.reshape(x.shape)
-        return y * scale.astype(dt) + bias.astype(dt)
+        # fold scale/shift: y = x*A + B, with A/B per (sample, channel)
+        a = jnp.broadcast_to(inv, (n, g, c // g)).reshape(n, c) * scale
+        b = bias - jnp.broadcast_to(mean * inv, (n, g, c // g)
+                                    ).reshape(n, c) * scale
+        shape = (n,) + (1,) * (x.ndim - 2) + (c,)
+        return x * a.astype(dt).reshape(shape) + b.astype(dt).reshape(shape)
 
 
 def group_norm(num_groups: int = 32, eps: float = 1e-5, dtype: Dtype = jnp.float32):
@@ -222,12 +234,14 @@ class VAEAttnBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from mgldvsr_tpu.ops.attention import attend
+
         n, h, w, c = x.shape
         y = group_norm(eps=1e-6, dtype=self.dtype)(x)
         q = conv1x1(c, self.dtype, name="q")(y).reshape(n, h * w, c)
         k = conv1x1(c, self.dtype, name="k")(y).reshape(n, h * w, c)
         v = conv1x1(c, self.dtype, name="v")(y).reshape(n, h * w, c)
-        attn = jax.nn.dot_product_attention(
+        attn = attend(
             q[:, :, None, :], k[:, :, None, :], v[:, :, None, :]
         ).reshape(n, h, w, c)
         out = conv1x1(c, self.dtype, name="proj_out")(attn)

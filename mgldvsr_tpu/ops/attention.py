@@ -11,15 +11,16 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_IMPL = "xla"
+_IMPL = "auto"
 
 
 def set_attention_impl(impl: str) -> None:
-    """impl: 'xla' (fused dot-product attention — fastest at MGLD sizes,
-    measured), 'flash' (Pallas TPU flash-attention for long sequences), or
-    'naive'."""
+    """impl: 'auto' (Pallas flash for long TPU self-attention, fused XLA
+    otherwise — device traces show XLA streams [B,H,N,N] fp32 logits
+    through HBM at N=4096, ~4.5 ms/layer of pure bandwidth), 'xla',
+    'flash', or 'naive'."""
     global _IMPL
-    assert impl in ("xla", "flash", "naive")
+    assert impl in ("auto", "xla", "flash", "naive")
     _IMPL = impl
 
 
@@ -31,6 +32,20 @@ def attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     otherwise stream [B,H,N,N] logits through HBM (1.6 GB per layer at
     N=4096)."""
     n, m = q.shape[1], k.shape[1]
+    b, _, h, d = q.shape
+    if (
+        _IMPL == "auto"
+        and jax.default_backend() == "tpu"
+        and n == m
+        and n >= 1024
+        and n % 256 == 0
+        and n * d * q.dtype.itemsize <= 4 * 1024 * 1024  # K/V VMEM-resident
+    ):
+        from mgldvsr_tpu.ops.pallas.attention import resident_attention
+
+        fold = lambda z: z.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+        out = resident_attention(fold(q), fold(k), fold(v))
+        return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)
     if (
         _IMPL == "flash"
         and jax.default_backend() == "tpu"
@@ -51,7 +66,7 @@ def attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
             return out.transpose(0, 2, 1, 3)
         except Exception:
             pass
-    if _IMPL == "xla":
+    if _IMPL in ("xla", "auto", "flash"):
         return jax.nn.dot_product_attention(q, k, v)
     scale = q.shape[-1] ** -0.5
     logits = jnp.einsum("bnhd,bmhd->bhnm", q, k).astype(jnp.float32) * scale

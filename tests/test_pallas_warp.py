@@ -85,3 +85,28 @@ def test_pallas_corr_lookup_matches_xla_reference():
                              q_block=16, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_resident_attention_matches_reference():
+    """Single-pass fused attention kernel (interpret mode) == fp32-softmax
+    reference, forward and gradients."""
+    from mgldvsr_tpu.ops.pallas.attention import (
+        _reference,
+        resident_attention,
+    )
+
+    rs = np.random.RandomState(0)
+    bh, n, d = 3, 512, 64
+    q = jnp.asarray(rs.randn(bh, n, d), jnp.float32)
+    k = jnp.asarray(rs.randn(bh, n, d), jnp.float32)
+    v = jnp.asarray(rs.randn(bh, n, d), jnp.float32)
+    out = resident_attention(q, k, v, 256, True)
+    want = _reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    # grads flow through the XLA reference VJP
+    g1 = jax.grad(lambda q: resident_attention(q, k, v, 256, True).sum())(q)
+    g2 = jax.grad(lambda q: _reference(q, k, v).sum())(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=2e-5, atol=2e-5)
