@@ -50,9 +50,20 @@ class GroupNorm(nn.Module):
         spatial = tuple(range(1, x.ndim - 1))
         count = float(_np.prod(x.shape[1:-1]) * (c // g))
         # Channel-wise sums first (clean reduction, no relayout of x); the
-        # group fold happens on the tiny [N, C] results only.
-        s1 = jnp.sum(x, axis=spatial, dtype=jnp.float32)        # [N, C]
-        s2 = jnp.sum(x * x, axis=spatial, dtype=jnp.float32)    # [N, C]
+        # group fold happens on the tiny [N, C] results only. On TPU a
+        # one-pass Pallas kernel computes both sums without the fp32 copy
+        # of x that XLA otherwise materializes for dual f32 reductions.
+        # Only for large spatial extents: at >=128^2 the avoided fp32
+        # materialization dominates; at 64^2 XLA's own fusion is better
+        # (measured on v5e: decode 357->316 ms, denoise 53.6->56.7 ms).
+        big = x.ndim == 4 and x.shape[1] * x.shape[2] >= 16384
+        if big and jax.default_backend() == "tpu":
+            from mgldvsr_tpu.ops.pallas.groupnorm import channel_sums
+
+            s1, s2 = channel_sums(x)
+        else:
+            s1 = jnp.sum(x, axis=spatial, dtype=jnp.float32)      # [N, C]
+            s2 = jnp.sum(x * x, axis=spatial, dtype=jnp.float32)  # [N, C]
         gs1 = s1.reshape(n, g, c // g).sum(-1, keepdims=True)
         gs2 = s2.reshape(n, g, c // g).sum(-1, keepdims=True)
         mean = gs1 / count

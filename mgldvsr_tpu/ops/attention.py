@@ -39,13 +39,17 @@ def attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
         and n == m
         and n >= 1024
         and n % 256 == 0
-        and n * d * q.dtype.itemsize <= 4 * 1024 * 1024  # K/V VMEM-resident
     ):
-        from mgldvsr_tpu.ops.pallas.attention import resident_attention
+        from mgldvsr_tpu.ops.pallas.attention import (
+            pick_block_q,
+            resident_attention,
+        )
 
-        fold = lambda z: z.transpose(0, 2, 1, 3).reshape(b * h, n, d)
-        out = resident_attention(fold(q), fold(k), fold(v))
-        return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)
+        bq = pick_block_q(n, d, q.dtype.itemsize)
+        if bq:
+            fold = lambda z: z.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+            out = resident_attention(fold(q), fold(k), fold(v), bq)
+            return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)
     if (
         _IMPL == "flash"
         and jax.default_backend() == "tpu"

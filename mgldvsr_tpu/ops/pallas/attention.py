@@ -41,6 +41,18 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     o_ref[0] = o.astype(o_ref.dtype)
 
 
+def pick_block_q(n: int, d: int, itemsize: int,
+                 budget: int = 10 * 1024 * 1024) -> int:
+    """Largest block_q (multiple of 128, <= 512) whose VMEM footprint —
+    two [bq, n] fp32 row-panels (logits + exp) plus resident K/V — fits
+    the budget. Returns 0 if even bq=128 cannot fit (caller falls back)."""
+    kv = 2 * n * d * itemsize
+    for bq in (512, 256, 128):
+        if n % bq == 0 and 2 * bq * n * 4 + kv <= budget:
+            return bq
+    return 0
+
+
 def _attend_resident(q, k, v, block_q: int, interpret: bool):
     bh, n, d = q.shape
     scale = d ** -0.5

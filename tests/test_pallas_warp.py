@@ -110,3 +110,22 @@ def test_resident_attention_matches_reference():
     g2 = jax.grad(lambda q: _reference(q, k, v).sum())(q)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_gn_channel_sums_matches_jnp():
+    from mgldvsr_tpu.ops.pallas.groupnorm import channel_sums
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(3, 12, 8, 16) * 7 + 2, jnp.float32)
+    s1, s2 = channel_sums(x, interpret=True)
+    np.testing.assert_allclose(np.asarray(s1),
+                               np.asarray(x.sum(axis=(1, 2))), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s2),
+                               np.asarray((x * x).sum(axis=(1, 2))),
+                               rtol=1e-5)
+    # odd H exercises the row-block divisor search
+    x2 = jnp.asarray(rs.randn(2, 7, 8, 32), jnp.bfloat16)
+    s1, s2 = channel_sums(x2, interpret=True)
+    ref = np.asarray(x2, np.float32)
+    np.testing.assert_allclose(np.asarray(s1), ref.sum(axis=(1, 2)),
+                               rtol=1e-2, atol=1e-2)
