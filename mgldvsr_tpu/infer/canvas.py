@@ -76,12 +76,17 @@ def make_tiled_denoise_fn(
 
     struct_latent: [(b t), H, W, 4] full-canvas LQ latent."""
     bt, H, W, C = struct_latent.shape
-    oys = tile_offsets(H, tile, overlap)
-    oxs = tile_offsets(W, tile, overlap)
+    # effective per-axis tile: canvases smaller than the nominal tile get
+    # one whole-canvas tile on that axis (the reference only enters the
+    # canvas path with latent > tile; we also serve sub-tile patches)
+    tile_h = min(tile, H)
+    tile_w = min(tile, W)
+    oys = tile_offsets(H, tile_h, min(overlap, tile_h // 2))
+    oxs = tile_offsets(W, tile_w, min(overlap, tile_w // 2))
     tiles = [(oy, ox) for oy in oys for ox in oxs]
-    w2d = jnp.asarray(gaussian_tile_weights(tile, tile))[None, :, :, None]
+    w2d = jnp.asarray(gaussian_tile_weights(tile_h, tile_w))[None, :, :, None]
 
-    if len(tiles) == 1 and tiles[0] == (0, 0) and (H, W) == (tile, tile):
+    if len(tiles) == 1:
         def simple_fn(x, t_orig):
             s_cond = structcond_apply(struct_latent, t_orig)
             return unet_apply(x, t_orig, context, s_cond)
@@ -94,11 +99,12 @@ def make_tiled_denoise_fn(
         for chunk_start in range(0, len(tiles), batch_tiles):
             chunk = tiles[chunk_start : chunk_start + batch_tiles]
             xs = jnp.concatenate(
-                [x[:, oy : oy + tile, ox : ox + tile, :] for oy, ox in chunk], 0
+                [x[:, oy : oy + tile_h, ox : ox + tile_w, :]
+                 for oy, ox in chunk], 0
             )
             ss = jnp.concatenate(
                 [
-                    struct_latent[:, oy : oy + tile, ox : ox + tile, :]
+                    struct_latent[:, oy : oy + tile_h, ox : ox + tile_w, :]
                     for oy, ox in chunk
                 ],
                 0,
@@ -109,8 +115,10 @@ def make_tiled_denoise_fn(
             eps = unet_apply(xs, tt, ctx, s_cond)
             for i, (oy, ox) in enumerate(chunk):
                 e = eps[i * bt : (i + 1) * bt]
-                acc = acc.at[:, oy : oy + tile, ox : ox + tile, :].add(e * w2d)
-                wacc = wacc.at[:, oy : oy + tile, ox : ox + tile, :].add(w2d)
+                acc = acc.at[:, oy : oy + tile_h, ox : ox + tile_w, :].add(
+                    e * w2d)
+                wacc = wacc.at[:, oy : oy + tile_h, ox : ox + tile_w, :].add(
+                    w2d)
         return acc / wacc
 
     return fn

@@ -89,3 +89,25 @@ def test_canvas_restore_end_to_end_tiny():
     o = np.asarray(out)
     assert o.shape == (5, h, w, 3)
     assert np.isfinite(o).all()
+
+
+def test_restore_video_full_protocol_awkward_size():
+    """The oldcanvas_tile protocol end-to-end on a non-multiple-of-32,
+    pre-upscale-requiring input: bicubic x4 -> min-side upscale -> /32 pad
+    -> pixel split -> canvas restore per patch -> gather -> downscale back
+    to the x-sf target size."""
+    import dataclasses
+
+    pipe = MGLDVSRPipeline(tiny_config(ddpm_steps=2))
+    t = pipe.cfg.num_frames
+    frames = jnp.asarray(np.random.RandomState(0).rand(t, 13, 11, 3),
+                         jnp.float32)
+    out = pipe.restore_video(
+        pipe.init_params(jax.random.PRNGKey(0), 64, 64),
+        frames, jax.random.PRNGKey(1),
+        pch_size=64, pch_stride=48, min_side=64,
+    )
+    # x4 target regardless of internal working size (13*4, 11*4)
+    assert out.shape == (t, 52, 44, 3)
+    assert np.isfinite(out).all()
+    assert out.min() >= 0.0 and out.max() <= 1.0

@@ -171,7 +171,7 @@ def main():
         res["canvas_restore"] = timeit(fn, params, frames_c,
                                        jax.random.PRNGKey(7), iters=3,
                                        warmup=1)
-        res["canvas_fps"] = t / res["canvas_restore"]
+        print(f"canvas fps @768px: {t / res['canvas_restore']:.3f}")
 
     for k, v in res.items():
         print(f"{k:18s} {v * 1e3:9.2f} ms")
