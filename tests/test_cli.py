@@ -73,3 +73,46 @@ def test_prepare_data_sub_images(tmp_path):
     assert _crop_positions(100, 64, 32, 3) == [0, 32, 36]
     assert _crop_positions(100, 64, 32, 8) == [0, 32]
     assert _crop_positions(50, 64, 32, 8) == [0]
+
+
+def test_latent_dump_feeds_stage2_pipeline(tmp_path):
+    """Integration of the two-stage data contract: the CLI latent-dump run
+    (w_latent protocol) produces outputs + .npy latents that
+    REDSAutoencoderDataset can window and the stage-2 VAE trainer can
+    consume for a real train step."""
+    import jax
+    import jax.numpy as jnp
+
+    from mgldvsr_tpu.cli.infer import main
+    from mgldvsr_tpu.data.datasets import REDSAutoencoderDataset
+    from mgldvsr_tpu.models.vae import VAEConfig
+    from mgldvsr_tpu.train.stage2 import Stage2Config, Stage2Trainer
+
+    lq_root = str(tmp_path / "lq")
+    out = str(tmp_path / "out")
+    _write_seq(lq_root, n=5, size=16)
+    main(["--seqs-path", lq_root, "--out-path", out, "--preset", "tiny",
+          "--mode", "latent", "--ddpm-steps", "2", "--size", "64",
+          "--no-bf16"])
+
+    ds = REDSAutoencoderDataset(
+        dataroot_gt=out, dataroot_lq=lq_root, dataroot_latent=out,
+        dataroot_sample=out, num_frame=5)
+    assert len(ds) == 1
+    item = ds[0]
+    assert item["gts"].shape == (5, 64, 64, 3)
+    assert item["lqs"].shape == (5, 16, 16, 3)
+    assert item["lts"].shape[0] == 5 and item["lts"].shape[-1] == 4
+    assert item["sps"].shape == (5, 64, 64, 3)
+
+    vae_cfg = VAEConfig(ch=32, ch_mult=(1, 1, 2, 2), num_res_blocks=1,
+                        num_frames=5, enable_fusion=True, num_fuse_block=1)
+    trainer = Stage2Trainer(vae_cfg, Stage2Config(disc_start=0))
+    state = trainer.init_state(jax.random.PRNGKey(0), 64, 64)
+    from mgldvsr_tpu.infer.pipeline import upscale_frames
+
+    lq_up = upscale_frames(jnp.asarray(item["lqs"]), 4)
+    new_state, metrics = jax.jit(trainer.train_step)(
+        state, lq_up, jnp.asarray(item["gts"]),
+        jnp.asarray(item["lts"]), jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["rec_loss"]))
