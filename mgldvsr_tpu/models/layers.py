@@ -101,8 +101,37 @@ def conv1x1(features: int, dtype: Dtype = jnp.float32, zero_init: bool = False,
                    param_dtype=jnp.float32, name=name)
 
 
+class _ConvParams(nn.Module):
+    """3x3 conv weights with nn.Conv-compatible param names/shapes."""
+
+    in_channels: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, self.in_channels, self.features),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return kernel, bias
+
+
+# tap groups for the phase decomposition: fine row 2i+a with 3x3 kernel row
+# ky reads coarse row i + floor((a-1+ky)/2) — a=0 folds ky {1,2} onto tap i,
+# a=1 folds ky {0,1}.
+_PHASE_GROUPS = ([[0], [1, 2]], [[0, 1], [2]])
+
+
 class Upsample(nn.Module):
-    """2x nearest upsample, optionally followed by a 3x3 conv."""
+    """2x nearest upsample, optionally followed by a 3x3 conv.
+
+    TPU: nearest-up + conv3x3 is algebraically a 2x2 conv per output phase
+    on the COARSE grid (kernel taps that land on the same coarse pixel
+    fold together), computed here as four 2x2 convs + pixel interleave —
+    2.25x fewer MXU FLOPs and no upsampled intermediate in HBM. Exact
+    (incl. zero-padding borders); params identical to the repeat+conv
+    form."""
 
     channels: int
     use_conv: bool = True
@@ -111,10 +140,32 @@ class Upsample(nn.Module):
     @nn.compact
     def __call__(self, x):
         n, h, w, c = x.shape
-        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-        if self.use_conv:
-            x = conv3x3(self.channels, self.dtype, name="conv")(x)
-        return x
+        if not self.use_conv:
+            return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        kernel, bias = _ConvParams(c, self.channels, name="conv")()
+        kernel = kernel.astype(self.dtype)
+        bias = bias.astype(self.dtype)
+        x = x.astype(self.dtype)
+        dn = ("NHWC", "HWIO", "NHWC")
+        phases = []
+        for a in (0, 1):
+            ga = _PHASE_GROUPS[a]
+            for b in (0, 1):
+                gb = _PHASE_GROUPS[b]
+                k2 = jnp.stack([
+                    jnp.stack([
+                        sum(kernel[ky, kx] for ky in ga[p] for kx in gb[q])
+                        for q in (0, 1)], axis=0)
+                    for p in (0, 1)], axis=0)  # [2, 2, C, Cout]
+                pad = ((1 - a, a), (1 - b, b))
+                y = jax.lax.conv_general_dilated(
+                    x, k2, window_strides=(1, 1), padding=pad,
+                    dimension_numbers=dn) + bias
+                phases.append(y)
+        ph = jnp.stack(phases, axis=-2)  # [N, H, W, 4, Cout]
+        ph = ph.reshape(n, h, w, 2, 2, self.channels)
+        out = ph.transpose(0, 1, 3, 2, 4, 5)  # [N, H, 2, W, 2, C]
+        return out.reshape(n, 2 * h, 2 * w, self.channels)
 
 
 class Downsample(nn.Module):

@@ -5,6 +5,7 @@ in terms of F.interpolate / F.grid_sample); the framework itself never
 imports torch on the compute path.
 """
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -127,3 +128,28 @@ def test_occlusion_check_inconsistent_flow_occluded():
     bwd = jnp.full((1, 8, 8, 2), 4.0)  # same sign => inconsistent
     fwd_occ, _ = forward_backward_consistency_check(fwd, bwd)
     assert np.asarray(fwd_occ).mean() > 0.5
+
+
+def test_phase_decomposed_upsample_matches_repeat_conv():
+    """Upsample(use_conv=True) = nearest-2x + 3x3 conv exactly, via the
+    4-phase 2x2 decomposition (borders included)."""
+    import flax.linen as nn
+
+    from mgldvsr_tpu.models.layers import Upsample, conv3x3
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(2, 5, 7, 8), jnp.float32)
+    up = Upsample(8)
+    params = up.init(jax.random.PRNGKey(0), x)
+    got = up.apply(params, x)
+
+    class Ref(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+            return conv3x3(8, name="conv")(x)
+
+    want = Ref().apply(params, x)
+    assert got.shape == want.shape == (2, 10, 14, 8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
