@@ -49,6 +49,12 @@ class GroupNorm(nn.Module):
         n = x.shape[0]
         spatial = tuple(range(1, x.ndim - 1))
         count = float(_np.prod(x.shape[1:-1]) * (c // g))
+        # NOTE: a fully-fused one-pass Pallas GN exists
+        # (ops/pallas/groupnorm.fused_group_norm_vjp) but is NOT dispatched
+        # here: at 64^2 extracting GN from XLA's conv+norm fusion graph made
+        # the surrounding fusions slower overall (53.4 -> 54.9 ms/step
+        # measured on v5e) even though the GN ops themselves got 10x
+        # cheaper. XLA's fused chains win at small spatial sizes.
         # Channel-wise sums first (clean reduction, no relayout of x); the
         # group fold happens on the tiny [N, C] results only. On TPU a
         # one-pass Pallas kernel computes both sums without the fp32 copy

@@ -68,3 +68,99 @@ def channel_sums(x: jnp.ndarray, interpret: bool | None = None):
         interpret=interpret,
     )(x)
     return s1[:, 0, :], s2[:, 0, :]
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused GroupNorm for VMEM-resident activations (one HBM read + one
+# write per tensor). Group fold/broadcast are one-hot matmuls so no reshape
+# ever splits the lane dim.
+# ---------------------------------------------------------------------------
+
+
+def _fused_gn_kernel(x_ref, scale_ref, bias_ref, o_ref, *, groups: int,
+                     eps: float):
+    """x_ref/o_ref: [1, H, W, C]; scale_ref/bias_ref: [1, C]."""
+    h, w, c = x_ref.shape[1:]
+    g = groups
+    cpg = c // g
+    x2 = x_ref[0].reshape(h * w, c)
+    # reduce with fp32 accumulators WITHOUT materializing an fp32 copy of
+    # the block (the .astype(f32) form cost 2x block VMEM and OOMed)
+    s1 = jnp.sum(x2, axis=0, keepdims=True, dtype=jnp.float32)  # [1, C]
+    s2 = jnp.sum(x2 * x2, axis=0, keepdims=True, dtype=jnp.float32)
+    # channel -> group one-hot [C, G]; group -> channel is its transpose
+    ch = jax.lax.broadcasted_iota(jnp.int32, (c, g), 0)
+    gr = jax.lax.broadcasted_iota(jnp.int32, (c, g), 1)
+    sel = (ch // cpg == gr).astype(jnp.float32)
+    cnt = float(h * w * cpg)
+    g1 = jnp.dot(s1, sel, preferred_element_type=jnp.float32) / cnt  # [1, G]
+    g2 = jnp.dot(s2, sel, preferred_element_type=jnp.float32) / cnt
+    var = jnp.maximum(g2 - g1 * g1, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    invc = jnp.dot(inv, sel.T, preferred_element_type=jnp.float32)   # [1, C]
+    meanc = jnp.dot(g1, sel.T, preferred_element_type=jnp.float32)
+    a = invc * scale_ref[:]                                          # [1, C]
+    b = bias_ref[:] - meanc * a
+    y = x2 * a.astype(x2.dtype) + b.astype(x2.dtype)
+    o_ref[0] = y.reshape(h, w, c)
+
+
+def fused_group_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+                     groups: int = 32, eps: float = 1e-5,
+                     interpret: bool | None = None) -> jnp.ndarray:
+    """GroupNorm for [N, H, W, C] with each sample VMEM-resident: stats +
+    normalize + scale/shift in ONE kernel pass. Output dtype == x dtype."""
+    import functools
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, h, w, c = x.shape
+    scale2 = scale.reshape(1, c).astype(jnp.float32)
+    bias2 = bias.reshape(1, c).astype(jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_fused_gn_kernel, groups=groups, eps=eps),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+    )(x, scale2, bias2)
+
+
+def _gn_reference(x, scale, bias, groups, eps):
+    n, h, w, c = x.shape
+    xg = x.astype(jnp.float32).reshape(n, h * w, groups, c // groups)
+    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+    var = jnp.var(xg, axis=(1, 3), keepdims=True)
+    y = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(n, h, w, c)
+    return (y * scale + bias).astype(x.dtype)
+
+
+import functools as _ft
+
+
+@_ft.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_group_norm_vjp(x, scale, bias, groups: int = 32, eps: float = 1e-5):
+    """Differentiable wrapper: Pallas one-pass forward, reference backward
+    (training gradients flow through the exact jnp formulation)."""
+    return fused_group_norm(x, scale, bias, groups, eps)
+
+
+def _gn_fwd(x, scale, bias, groups, eps):
+    return fused_group_norm_vjp(x, scale, bias, groups, eps), (x, scale, bias)
+
+
+def _gn_bwd(groups, eps, res, g):
+    x, scale, bias = res
+    _, vjp = jax.vjp(
+        lambda x, s, b: _gn_reference(x, s, b, groups, eps), x, scale, bias)
+    return vjp(g)
+
+
+fused_group_norm_vjp.defvjp(_gn_fwd, _gn_bwd)

@@ -129,3 +129,21 @@ def test_gn_channel_sums_matches_jnp():
     ref = np.asarray(x2, np.float32)
     np.testing.assert_allclose(np.asarray(s1), ref.sum(axis=(1, 2)),
                                rtol=1e-2, atol=1e-2)
+
+
+def test_fused_group_norm_matches_flax():
+    import flax.linen as nn
+
+    from mgldvsr_tpu.ops.pallas.groupnorm import fused_group_norm
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(3, 8, 8, 64) * 5 + 3, jnp.float32)
+    gn = nn.GroupNorm(num_groups=32, epsilon=1e-5)
+    p = gn.init(jax.random.PRNGKey(0), x)
+    scale = jnp.asarray(rs.randn(64), jnp.float32)
+    bias = jnp.asarray(rs.randn(64), jnp.float32)
+    p = {"params": {"scale": scale, "bias": bias}}
+    want = gn.apply(p, x)
+    got = fused_group_norm(x, scale, bias, 32, 1e-5, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
