@@ -116,3 +116,30 @@ def test_latent_dump_feeds_stage2_pipeline(tmp_path):
         state, lq_up, jnp.asarray(item["gts"]),
         jnp.asarray(item["lts"]), jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["rec_loss"]))
+
+
+def test_train_cli_stage1_tiny_two_steps(tmp_path):
+    """Stage-1 training CLI end-to-end: on-the-fly degradations, jitted
+    train step, JSONL metrics, and an orbax checkpoint on disk."""
+    import json
+
+    from mgldvsr_tpu.cli.train import main
+
+    gt_root = tmp_path / "gt"
+    for clip in ("c0",):
+        d = gt_root / clip
+        os.makedirs(d)
+        rs = np.random.RandomState(0)
+        for i in range(6):
+            cv2.imwrite(str(d / f"{i:08d}.png"),
+                        rs.randint(0, 255, (48, 48, 3), np.uint8))
+    logdir = str(tmp_path / "run")
+    main(["--stage", "1", "--data-root", str(gt_root), "--logdir", logdir,
+          "--max-steps", "2", "--tiny", "--grad-accum", "1",
+          "--ckpt-every", "1", "--log-every", "1", "--image-every", "1"])
+    lines = [json.loads(l) for l in
+             open(os.path.join(logdir, "metrics.jsonl"))]
+    assert lines and np.isfinite(lines[-1]["loss"])
+    assert os.path.isdir(os.path.join(logdir, "ckpt"))
+    ckpts = os.listdir(os.path.join(logdir, "ckpt"))
+    assert any(c.isdigit() or c.startswith(("1", "2")) for c in ckpts)
