@@ -22,7 +22,7 @@ like the reference's ``flow.flip(1) * scale`` output (maskflownet_arch.py:395,
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, List, Sequence, Tuple
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
