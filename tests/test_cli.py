@@ -143,3 +143,28 @@ def test_train_cli_stage1_tiny_two_steps(tmp_path):
     assert os.path.isdir(os.path.join(logdir, "ckpt"))
     ckpts = os.listdir(os.path.join(logdir, "ckpt"))
     assert any(c.isdigit() or c.startswith(("1", "2")) for c in ckpts)
+
+
+def test_train_cli_stage2_tiny_one_step(tmp_path):
+    """Stage-2 training CLI end-to-end on latent-dump-produced data:
+    quadruple dataset -> jitted two-optimizer GAN step -> checkpoint."""
+    import json
+
+    from mgldvsr_tpu.cli.infer import main as infer_main
+    from mgldvsr_tpu.cli.train import main as train_main
+
+    lq_root = str(tmp_path / "lq")
+    out = str(tmp_path / "out")
+    _write_seq(lq_root, n=5, size=8)
+    infer_main(["--seqs-path", lq_root, "--out-path", out, "--preset",
+                "tiny", "--mode", "latent", "--ddpm-steps", "1",
+                "--size", "32", "--no-bf16"])
+    logdir = str(tmp_path / "run2")
+    train_main(["--stage", "2", "--data-root", out, "--lq-root", lq_root,
+                "--latent-root", out, "--logdir", logdir,
+                "--max-steps", "1", "--tiny", "--grad-accum", "1",
+                "--ckpt-every", "1", "--log-every", "1"])
+    lines = [json.loads(l) for l in
+             open(os.path.join(logdir, "metrics.jsonl"))]
+    assert lines
+    assert os.path.isdir(os.path.join(logdir, "ckpt"))
