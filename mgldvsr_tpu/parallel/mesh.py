@@ -36,6 +36,11 @@ def make_mesh(
         devices = devices[:n_devices]
     n = len(devices)
     if dp is None:
+        # Degrade tp gracefully when there are too few devices for the
+        # requested tensor split (e.g. a single-chip or odd-sized host):
+        # fall back to the largest divisor of n that is <= tp.
+        while tp > 1 and (n % tp != 0 or n // tp < 1):
+            tp -= 1
         dp = n // tp
     assert dp * tp == n, f"dp({dp}) * tp({tp}) != devices({n})"
     arr = np.asarray(devices).reshape(dp, tp)
