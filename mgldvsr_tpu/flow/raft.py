@@ -71,10 +71,18 @@ def _norm(kind: str, features: int, name: str):
     raise ValueError(kind)
 
 
-def _conv(features, kernel, name, strides=1, padding="SAME"):
+def _conv(features, kernel, name, strides=1, padding=None):
+    """Conv with torch-style symmetric k//2 padding.
+
+    XLA's "SAME" pads asymmetrically under stride>1 (e.g. (2,3) for a 7x7
+    stride-2 conv) while torch's padding=k//2 is symmetric — a one-pixel
+    sampling-grid shift that breaks parity with raft_arch.py's encoders."""
+    k = kernel if isinstance(kernel, tuple) else (kernel, kernel)
+    if padding is None:
+        padding = tuple((kk // 2, kk // 2) for kk in k)
     return nn.Conv(
         features,
-        kernel if isinstance(kernel, tuple) else (kernel, kernel),
+        k,
         strides=(strides, strides),
         padding=padding,
         name=name,
@@ -197,6 +205,11 @@ def lookup_corr(
         pd = patch[..., 1:, 1:]
         sampled = ((1 - ty) * (1 - tx) * pa + (1 - ty) * tx * pb
                    + ty * (1 - tx) * pc + ty * tx * pd)
+        # Reference channel order quirk (raft_arch.py:62-64): delta =
+        # stack(meshgrid(dy, dx)) is added to (x, y) coords, so flat index
+        # i*win+j samples x-offset i-r, y-offset j-r — the TRANSPOSE of
+        # (dy, dx) row-major. Converted convc1 weights require this order.
+        sampled = sampled.swapaxes(-1, -2)
         out.append(sampled.reshape(b, n, win * win))
     return jnp.concatenate(out, axis=-1).reshape(b, h, w, -1)
 

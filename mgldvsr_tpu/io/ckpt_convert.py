@@ -441,6 +441,8 @@ def convert_vae_decoder(
         if i != 0:
             out[f"up_{i}_upsample"] = {"conv": g.conv(f"up.{i}.upsample.conv")}
             curr_res *= 2
+    out["GroupNorm_0"] = g.norm("norm_out")
+    out["conv_out"] = g.conv("conv_out")
     return out
 
 
@@ -538,6 +540,50 @@ def convert_lpips(
     for i in range(5):
         params[f"lin{i}"] = {"kernel": conv_kernel(g.raw(f"lin{i}.model.1.weight"))}
     return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# FID InceptionV3 (pt_inception-2015-12-05, basicsr/archs/inception.py)
+# ---------------------------------------------------------------------------
+
+
+def convert_inception(sd: Mapping[str, Any], prefix: str = "",
+                      used: Optional[set] = None) -> Dict[str, Any]:
+    """pt_inception FID checkpoint -> InceptionV3FID params.
+
+    Walks the torch module paths generically: every ``<path>.conv.weight`` /
+    ``<path>.bn.{weight,bias,running_mean,running_var}`` quintet becomes a
+    BasicConv at the same nested path (names match 1:1). The 1008-class fc
+    head and AuxLogits are not part of the pool3 feature tower and are
+    skipped (but marked consumed for reporting)."""
+    g = SDGet(sd, prefix, used)
+    out: Dict[str, Any] = {}
+    for key in sd:
+        if not key.startswith(prefix):
+            continue
+        rel = key[len(prefix):]
+        if rel.startswith(("fc.", "AuxLogits.")):
+            g.used.add(key)
+            continue
+        if "num_batches_tracked" in rel:
+            g.used.add(key)
+            continue
+        parts = rel.split(".")
+        leaf = parts[-1]
+        kind = parts[-2]  # 'conv' or 'bn'
+        node = out
+        for p in parts[:-2]:
+            node = node.setdefault(p, {})
+        if kind == "conv" and leaf == "weight":
+            node["conv"] = {"kernel": conv_kernel(g.raw(rel))}
+        elif kind == "bn":
+            bn = node.setdefault("bn", {})
+            name = {"weight": "scale", "bias": "bias",
+                    "running_mean": "mean", "running_var": "var"}[leaf]
+            bn[name] = _np(g.raw(rel))
+        else:
+            raise KeyError(f"unrecognized inception key {key}")
+    return {"params": out}
 
 
 # ---------------------------------------------------------------------------

@@ -1,17 +1,37 @@
-"""FID: Fréchet distance between activation statistics.
+"""FID: InceptionV3-pool3 features + Fréchet distance.
 
 Capability parity with basicsr FID (/root/reference/basicsr/metrics/fid.py:
-10-89 + inception.py): mean/covariance of a feature extractor's pool
-activations and the Fréchet distance between the two Gaussians. The feature
-extractor is pluggable — the canonical InceptionV3-pool3 weights require an
-offline download; any ``fn(images_nhwc01) -> [N, D]`` works (e.g. the LPIPS
-VGG trunk)."""
+10-89 + archs/inception.py): the FID-patched InceptionV3 pool3 tower
+(``metrics/inception.InceptionV3FID``, oracle-tested against the reference
+blocks), mean/covariance of its activations, and the Fréchet distance
+between the two Gaussians. The canonical pt_inception-2015-12-05 weights
+load through ``io.ckpt_convert.convert_inception``; the feature extractor
+stays pluggable (any ``fn(images_nhwc) -> [N, D]``) for weight-free use."""
 from __future__ import annotations
 
 from typing import Callable, Iterable, Tuple
 
 import numpy as np
 from scipy import linalg
+
+
+def load_patched_inception(ckpt_path: str, resize_input: bool = True,
+                           normalize_input: bool = False):
+    """Reference ``load_patched_inception_v3`` equivalent (fid.py:10-15):
+    returns a jitted ``fn(images_nhwc) -> [N, 2048]`` feature extractor."""
+    import jax
+
+    from mgldvsr_tpu.io.ckpt_convert import (
+        convert_inception,
+        load_torch_state_dict,
+        to_jax,
+    )
+    from mgldvsr_tpu.metrics.inception import InceptionV3FID
+
+    params = to_jax(convert_inception(load_torch_state_dict(ckpt_path)))
+    model = InceptionV3FID(resize_input=resize_input,
+                           normalize_input=normalize_input)
+    return jax.jit(lambda x: model.apply(params, x))
 
 
 def extract_features(

@@ -118,6 +118,9 @@ def lookup_corr_pallas(padded_pyramid, coords: jnp.ndarray, radius: int = 4,
         pd = patch[..., 1:, 1:]
         sampled = ((1 - ty) * (1 - tx) * pa + (1 - ty) * tx * pb
                    + ty * (1 - tx) * pc + ty * tx * pd)
+        # match the reference's transposed window flatten order
+        # (raft_arch.py:62-64 delta quirk) — see flow/raft.lookup_corr
+        sampled = sampled.swapaxes(-1, -2)
         # [B, N, win, win] -> [B, N, win*win] (host-side reshape)
         out.append(sampled.reshape(b, n, win * win))
     return jnp.concatenate(out, axis=-1).reshape(b, h, w, -1)

@@ -49,7 +49,11 @@ def _torch_corr_lookup(f1, f2, coords, num_levels=4, radius=4):
         dy = torch.linspace(-r, r, 2 * r + 1)
         delta = torch.stack(torch.meshgrid(dy, dx, indexing="ij"), dim=-1)
         ctr = coords.reshape(b * h * w, 1, 1, 2) / 2**lvl
-        pts = ctr + delta.flip(-1).reshape(1, 2 * r + 1, 2 * r + 1, 2)
+        # NO component flip: the reference adds (dy, dx)-ordered deltas to
+        # (x, y)-ordered coords (raft_arch.py:62-66), which transposes the
+        # flattened window order. Verified against the real module in
+        # test_ref_oracle.py::test_raft_sr_oracle.
+        pts = ctr + delta.reshape(1, 2 * r + 1, 2 * r + 1, 2)
         gx = 2 * pts[..., 0] / max(wl - 1, 1) - 1
         gy = 2 * pts[..., 1] / max(hl - 1, 1) - 1
         sampled = F.grid_sample(

@@ -1,0 +1,508 @@
+"""Direct reference-module oracle tests.
+
+These import the ACTUAL modules from /root/reference (via the minimal
+dependency shims in tests/ref_shims: torchvision / mmcv / xformers), load
+randomized weights into them, convert those weights through
+``mgldvsr_tpu.io.ckpt_convert``, and assert forward-pass parity with this
+framework's flax modules. Unlike the hand-written torch oracles in
+test_ckpt_convert.py, a pass here means "matches the reference's own code",
+not "matches my reconstruction of it".
+
+Covered (VERDICT round-1 item 2):
+- ResBlockDual + SPADE        openaimodel.py:362-482, spade.py:68-111
+- InflatedUNetModelDualcondV2 openaimodel.py:1903-2313 (full tiny UNet)
+- InflatedEncoderUNetModelWT  openaimodel.py:2316-2525
+- SpatialTemporalConv / TemporalAttention  util.py:291, attention.py:124
+- VideoDecoder_Mix + fusion   model.py:926-1056
+- RAFT_SR ('normal')          raft_arch.py:668-807
+- SpyNet                      spynet_arch.py:28-96
+- modulated deform conv vs torchvision semantics; local correlation vs
+  mmcv Correlation semantics
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_REF = "/root/reference"
+for _p in (os.path.join(_HERE, "ref_shims"), _REF):
+    if _p not in sys.path:
+        sys.path.insert(0, _p)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(_REF), reason="reference tree not present"
+)
+
+import torch  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from mgldvsr_tpu.io import ckpt_convert as cc  # noqa: E402
+
+
+def _install_einops_none_compat():
+    """The reference's environment pinned an einops version that accepted
+    axis=None kwargs (meaning "infer this axis"); current einops raises on
+    them. Re-bind the reference's rearrange helpers (util.py:271-288) with
+    None kwargs dropped — identical semantics, no math change."""
+    from einops import rearrange
+
+    import ldm.modules.attention as rattn
+    import ldm.modules.diffusionmodules.util as rutil
+
+    def mk(pattern):
+        def fn(inp, b, c, t, h, w):
+            kw = {k: v for k, v in (("b", b), ("c", c), ("t", t), ("h", h),
+                                    ("w", w)) if v is not None}
+            return rearrange(inp, pattern, **kw)
+
+        return fn
+
+    rutil.from_4d_to_5d = mk("(b t) c h w -> b c t h w")
+    rutil.from_5d_to_4d = mk("b c t h w -> (b t) c h w")
+    rutil.from_4d_to_3d = mk("(b t) c h w -> (b h w) t c")
+    rutil.from_3d_to_4d = mk("(b h w) t c -> (b t) c h w")
+    rattn.from_4d_to_3d = rutil.from_4d_to_3d
+    rattn.from_3d_to_4d = rutil.from_3d_to_4d
+
+
+if os.path.isdir(_REF):
+    _install_einops_none_compat()
+
+
+def randomize(module: torch.nn.Module, seed: int):
+    """Fill every parameter/buffer with reproducible random values (zero-init
+    output convs included, so a forward match is non-trivial) and return the
+    state dict."""
+    rs = np.random.RandomState(seed)
+    new = {}
+    for k, v in module.state_dict().items():
+        if "num_batches_tracked" in k:
+            new[k] = v
+            continue
+        shape = tuple(v.shape)
+        if "running_var" in k:
+            arr = np.abs(rs.standard_normal(shape)) * 0.5 + 0.5
+        elif v.ndim >= 2:
+            arr = rs.standard_normal(shape) * 0.1
+        else:
+            arr = rs.standard_normal(shape) * 0.2
+        new[k] = torch.from_numpy(arr.astype(np.float32)).reshape(v.shape)
+    module.load_state_dict(new)
+    module.eval()
+    return new
+
+
+def nchw(x_nhwc: np.ndarray) -> torch.Tensor:
+    return torch.from_numpy(np.ascontiguousarray(x_nhwc.transpose(0, 3, 1, 2)))
+
+
+def nhwc(x_t: torch.Tensor) -> np.ndarray:
+    return x_t.detach().numpy().transpose(0, 2, 3, 1)
+
+
+# --------------------------------------------------------------------------
+# ResBlockDual + SPADE
+# --------------------------------------------------------------------------
+
+
+def test_resblock_dual_spade_oracle():
+    from ldm.modules.diffusionmodules.openaimodel import ResBlockDual
+
+    from mgldvsr_tpu.models.unet import DualResBlock
+
+    c_in, c_out, semb, emb_dim, hw = 32, 64, 32, 48, 8
+    ref = ResBlockDual(c_in, emb_dim, 0.0, semb_channels=semb,
+                       out_channels=c_out)
+    sd = randomize(ref, 0)
+
+    rs = np.random.RandomState(10)
+    x = rs.standard_normal((2, hw, hw, c_in)).astype(np.float32)
+    emb = rs.standard_normal((2, emb_dim)).astype(np.float32)
+    s = rs.standard_normal((2, hw, hw, semb)).astype(np.float32)
+
+    with torch.no_grad():
+        out_ref = ref(nchw(x), torch.from_numpy(emb), {str(hw): nchw(s)})
+
+    params = {"params": cc._resblock(cc.SDGet(sd), dual=True)}
+    mod = DualResBlock(c_out, emb_dim, semb)
+    ours = mod.apply(cc.to_jax(params), jnp.asarray(x), jnp.asarray(emb),
+                     {str(hw): jnp.asarray(s)})
+    np.testing.assert_allclose(np.asarray(ours), nhwc(out_ref), atol=2e-5)
+
+
+# --------------------------------------------------------------------------
+# Temporal modules (real classes)
+# --------------------------------------------------------------------------
+
+
+def test_temporal_modules_oracle():
+    from ldm.modules.diffusionmodules.util import SpatialTemporalConv as RefSTC
+    from ldm.modules.attention import TemporalAttention as RefTA
+
+    from mgldvsr_tpu.models.temporal import (
+        SpatialTemporalConv,
+        TemporalAttention,
+    )
+
+    c, t, hw, heads, dim_head = 16, 4, 6, 2, 8
+    rs = np.random.RandomState(3)
+    x = rs.standard_normal((t, hw, hw, c)).astype(np.float32)
+
+    stc = RefSTC(c, num_frames=t)
+    sd = randomize(stc, 1)
+    with torch.no_grad():
+        out_ref = stc(nchw(x))
+    ours = SpatialTemporalConv(num_frames=t).apply(
+        cc.to_jax({"params": cc._stconv(cc.SDGet(sd))}), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), nhwc(out_ref), atol=1e-5)
+
+    ta = RefTA(c, num_heads=heads, dim_head=dim_head, num_frames=t)
+    sd = randomize(ta, 2)
+    with torch.no_grad():
+        out_ref = ta(nchw(x))
+    ours = TemporalAttention(num_frames=t, num_heads=heads,
+                             dim_head=dim_head).apply(
+        cc.to_jax({"params": cc._tattn(cc.SDGet(sd))}), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), nhwc(out_ref), atol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# Full inflated dual-cond UNet
+# --------------------------------------------------------------------------
+
+
+def test_inflated_unet_dualcond_v2_oracle():
+    from ldm.modules.diffusionmodules.openaimodel import (
+        InflatedUNetModelDualcondV2,
+    )
+
+    from mgldvsr_tpu.models.unet import InflatedUNetDualCond, UNetConfig
+
+    t, hw, ctx_dim, semb = 2, 16, 32, 32
+    ref = InflatedUNetModelDualcondV2(
+        image_size=hw, in_channels=4, model_channels=32, out_channels=4,
+        num_res_blocks=2, attention_resolutions=[1, 2], channel_mult=[1, 2],
+        num_frames=t, num_head_channels=16, use_spatial_transformer=True,
+        use_linear_in_transformer=True, transformer_depth=1,
+        context_dim=ctx_dim, legacy=False, semb_channels=semb,
+    )
+    sd = randomize(ref, 4)
+
+    rs = np.random.RandomState(11)
+    x = rs.standard_normal((t, hw, hw, 4)).astype(np.float32)
+    ts = np.array([311, 47], dtype=np.int64)
+    ctx = rs.standard_normal((t, 7, ctx_dim)).astype(np.float32)
+    s16 = rs.standard_normal((t, hw, hw, semb)).astype(np.float32)
+    s8 = rs.standard_normal((t, hw // 2, hw // 2, semb)).astype(np.float32)
+
+    with torch.no_grad():
+        out_ref = ref(
+            nchw(x), torch.from_numpy(ts), torch.from_numpy(ctx),
+            {"16": nchw(s16), "8": nchw(s8)},
+        )
+
+    used = set()
+    params = cc.convert_unet(
+        sd, prefix="", channel_mult=(1, 2), num_res_blocks=2,
+        attention_resolutions=(1, 2), used=used,
+    )
+    assert used == set(sd), sorted(set(sd) - used)[:5]
+    cfg = UNetConfig(
+        model_channels=32, num_head_channels=16, context_dim=ctx_dim,
+        semb_channels=semb, channel_mult=(1, 2), attention_resolutions=(1, 2),
+        num_frames=t,
+    )
+    ours = InflatedUNetDualCond(cfg).apply(
+        cc.to_jax(params), jnp.asarray(x), jnp.asarray(ts),
+        jnp.asarray(ctx), {"16": jnp.asarray(s16), "8": jnp.asarray(s8)},
+    )
+    np.testing.assert_allclose(np.asarray(ours), nhwc(out_ref), atol=3e-4)
+
+
+# --------------------------------------------------------------------------
+# Struct-cond encoder
+# --------------------------------------------------------------------------
+
+
+def test_struct_encoder_oracle():
+    from ldm.modules.diffusionmodules.openaimodel import (
+        InflatedEncoderUNetModelWT,
+    )
+
+    from mgldvsr_tpu.models.unet import StructCondConfig, StructCondEncoder
+
+    t, hw = 2, 16
+    ref = InflatedEncoderUNetModelWT(
+        image_size=hw, in_channels=4, model_channels=32, out_channels=32,
+        num_res_blocks=2, attention_resolutions=[1, 2], channel_mult=[1, 1],
+        num_heads=4, num_frames=t,
+    )
+    sd = randomize(ref, 5)
+
+    rs = np.random.RandomState(12)
+    x = rs.standard_normal((t, hw, hw, 4)).astype(np.float32)
+    ts = np.array([702, 9], dtype=np.int64)
+
+    with torch.no_grad():
+        out_ref = ref(nchw(x), torch.from_numpy(ts))
+
+    used = set()
+    params = cc.convert_structcond(
+        sd, prefix="", channel_mult=(1, 1), model_channels=32,
+        num_res_blocks=2, attention_resolutions=(1, 2), num_heads=4,
+        used=used,
+    )
+    assert used == set(sd), sorted(set(sd) - used)[:5]
+    cfg = StructCondConfig(
+        model_channels=32, out_channels=32, channel_mult=(1, 1),
+        attention_resolutions=(1, 2), num_heads=4, num_frames=t,
+    )
+    ours = StructCondEncoder(cfg).apply(
+        cc.to_jax(params), jnp.asarray(x), jnp.asarray(ts))
+    assert set(ours) == set(out_ref)
+    for key in out_ref:
+        np.testing.assert_allclose(
+            np.asarray(ours[key]), nhwc(out_ref[key]), atol=2e-4,
+            err_msg=f"struct_cond[{key}]")
+
+
+# --------------------------------------------------------------------------
+# VideoDecoder_Mix (+ fusion blocks)
+# --------------------------------------------------------------------------
+
+
+def test_video_decoder_mix_oracle():
+    from ldm.modules.diffusionmodules.model import VideoDecoder_Mix
+
+    from mgldvsr_tpu.models.vae import Decoder, VAEConfig
+
+    t = 2
+    ref = VideoDecoder_Mix(
+        ch=32, out_ch=3, ch_mult=(1, 1, 2, 2), num_res_blocks=1,
+        attn_resolutions=[], num_frames=t, in_channels=3, resolution=64,
+        z_channels=4, num_fuse_block=1, fusion_w=0.7,
+    )
+    sd = randomize(ref, 6)
+
+    rs = np.random.RandomState(13)
+    z = rs.standard_normal((t, 8, 8, 4)).astype(np.float32)
+    fea1 = rs.standard_normal((t, 32, 32, 32)).astype(np.float32)
+    fea2 = rs.standard_normal((t, 16, 16, 64)).astype(np.float32)
+
+    with torch.no_grad():
+        out_ref = ref(nchw(z), [nchw(fea1), nchw(fea2)])
+
+    used = set()
+    params = {"params": cc.convert_vae_decoder(
+        cc.SDGet(sd, "", used), ch_mult=(1, 1, 2, 2), num_res_blocks=1,
+        attn_resolutions=(), resolution=64, video=True, fusion=True,
+    )}
+    assert used == set(sd), sorted(set(sd) - used)[:5]
+    cfg = VAEConfig(
+        ch=32, out_ch=3, ch_mult=(1, 1, 2, 2), num_res_blocks=1,
+        attn_resolutions=(), resolution=64, z_channels=4, num_frames=t,
+        enable_fusion=True, num_fuse_block=1,
+    )
+    ours = Decoder(cfg).apply(
+        cc.to_jax(params), jnp.asarray(z),
+        [jnp.asarray(fea1), jnp.asarray(fea2)], 0.7)
+    np.testing.assert_allclose(np.asarray(ours), nhwc(out_ref), atol=2e-4)
+
+
+# --------------------------------------------------------------------------
+# RAFT_SR
+# --------------------------------------------------------------------------
+
+
+def test_raft_sr_oracle():
+    from basicsr.archs.raft_arch import RAFT_SR
+
+    from mgldvsr_tpu.flow.raft import RAFT, RAFTConfig
+
+    ref = RAFT_SR(model="normal")
+    sd = randomize(ref, 7)
+    # Tame the per-iteration flow delta to ~sub-pixel scale: with fully
+    # random weights the recurrence is chaotic (flows of ~70px whose window
+    # lookups sit far out of range), which amplifies fp noise past any
+    # useful tolerance without exercising any additional code path.
+    for k in ("update_block.flow_head.conv2.weight",
+              "update_block.flow_head.conv2.bias"):
+        sd[k] = sd[k] * 0.02
+    ref.load_state_dict(sd)
+    ref.eval()
+
+    # /8 feature grid must stay >=2px at the coarsest pyramid level: the
+    # reference's bilinear_sampler normalizes by (W-1), which is 0 (-> NaN)
+    # on a 1x1 level. 128px -> levels 16/8/4/2, all valid.
+    rs = np.random.RandomState(14)
+    im1 = rs.rand(1, 128, 128, 3).astype(np.float32)
+    im2 = rs.rand(1, 128, 128, 3).astype(np.float32)
+
+    with torch.no_grad():
+        flow_ref = ref(nchw(im1), nchw(im2), iters=3)
+
+    used = set()
+    params = cc.convert_raft(sd, used=used)
+    # ".norm3." keys alias "downsample.1." (raft_arch.py:127-128 registers the
+    # same BN module twice); num_batches_tracked buffers carry no weights.
+    ignorable = {k for k in sd
+                 if "num_batches_tracked" in k or ".norm3." in k}
+    assert used == set(sd) - ignorable, sorted(set(sd) - ignorable - used)[:5]
+    ours = RAFT(RAFTConfig(iters=3, lookup_impl="xla")).apply(
+        cc.to_jax(params), jnp.asarray(im1), jnp.asarray(im2))
+    np.testing.assert_allclose(np.asarray(ours), nhwc(flow_ref), atol=2e-3)
+
+
+# --------------------------------------------------------------------------
+# SpyNet
+# --------------------------------------------------------------------------
+
+
+def test_spynet_oracle():
+    from basicsr.archs.spynet_arch import SpyNet as RefSpyNet
+
+    from mgldvsr_tpu.flow.spynet import SpyNet
+
+    ref = RefSpyNet()
+    sd = randomize(ref, 8)
+    # keep per-level flow predictions ~sub-pixel: fully random 7x7 stacks
+    # produce 1e8-magnitude flows whose border-mode warps are chaotic
+    for i in range(6):
+        for leaf in ("weight", "bias"):
+            k = f"basic_module.{i}.basic_module.8.{leaf}"
+            sd[k] = sd[k] * 1e-3
+    # the ImageNet mean/std preprocess constants are registered buffers —
+    # restore them (our implementation hard-codes them)
+    sd["mean"] = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    sd["std"] = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+    ref.load_state_dict(sd)
+    ref.eval()
+
+    rs = np.random.RandomState(15)
+    im1 = rs.rand(1, 64, 64, 3).astype(np.float32)
+    im2 = rs.rand(1, 64, 64, 3).astype(np.float32)
+
+    with torch.no_grad():
+        flow_ref = ref(nchw(im1), nchw(im2))
+
+    used = set()
+    params = cc.convert_spynet(
+        {k: v for k, v in sd.items() if not k.startswith(("mean", "std"))},
+        used=used,
+    )
+    ours = SpyNet().apply(cc.to_jax(params), jnp.asarray(im1),
+                          jnp.asarray(im2))
+    np.testing.assert_allclose(np.asarray(ours), nhwc(flow_ref), atol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# Op-level semantics: deformable conv, local correlation
+# --------------------------------------------------------------------------
+
+
+def test_modulated_deform_conv_vs_torchvision_semantics():
+    from torchvision.ops import deform_conv2d  # shim: naive, documented layout
+
+    from mgldvsr_tpu.ops.dcn import modulated_deform_conv2d
+
+    rs = np.random.RandomState(16)
+    n, cin, cout, h, w, g = 1, 8, 12, 9, 9, 2
+    k = 9  # 3x3
+    x = rs.standard_normal((n, h, w, cin)).astype(np.float32)
+    offset = (rs.standard_normal((n, h, w, 2 * g * k)) * 1.5).astype(np.float32)
+    mask = rs.rand(n, h, w, g * k).astype(np.float32)
+    weight = (rs.standard_normal((3, 3, cin, cout)) * 0.1).astype(np.float32)
+    bias = (rs.standard_normal((cout,)) * 0.1).astype(np.float32)
+
+    ours = modulated_deform_conv2d(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+        jnp.asarray(weight), jnp.asarray(bias), deform_groups=g, padding=1,
+    )
+
+    w_t = torch.from_numpy(weight.transpose(3, 2, 0, 1).copy())
+    off_t = torch.from_numpy(offset.transpose(0, 3, 1, 2).copy())
+    mask_t = torch.from_numpy(mask.transpose(0, 3, 1, 2).copy())
+    ref = deform_conv2d(
+        nchw(x), off_t, w_t, torch.from_numpy(bias), stride=1, padding=1,
+        mask=mask_t,
+    )
+    np.testing.assert_allclose(np.asarray(ours), nhwc(ref), atol=1e-4)
+
+
+def test_fid_inception_oracle():
+    """The FID-patched InceptionV3 pool3 tower vs the reference assembly
+    (basicsr/archs/inception.py:17-154 block structure with FIDInceptionA/C/
+    E_1/E_2 patches over the torchvision topology)."""
+    import torch.nn as tnn
+    from torchvision import models  # shim: public inception_v3 topology
+
+    from basicsr.archs.inception import (
+        FIDInceptionA,
+        FIDInceptionC,
+        FIDInceptionE_1,
+        FIDInceptionE_2,
+    )
+
+    from mgldvsr_tpu.metrics.inception import InceptionV3FID
+
+    # fid_inception_v3() minus the weight download (inception.py:156-188)
+    net = models.inception_v3(num_classes=1008, aux_logits=False,
+                              pretrained=False)
+    net.Mixed_5b = FIDInceptionA(192, pool_features=32)
+    net.Mixed_5c = FIDInceptionA(256, pool_features=64)
+    net.Mixed_5d = FIDInceptionA(288, pool_features=64)
+    net.Mixed_6b = FIDInceptionC(768, channels_7x7=128)
+    net.Mixed_6c = FIDInceptionC(768, channels_7x7=160)
+    net.Mixed_6d = FIDInceptionC(768, channels_7x7=160)
+    net.Mixed_6e = FIDInceptionC(768, channels_7x7=192)
+    net.Mixed_7b = FIDInceptionE_1(1280)
+    net.Mixed_7c = FIDInceptionE_2(2048)
+    sd = randomize(net, 9)
+
+    # reference InceptionV3 wrapper forward, blocks 0-3 (inception.py:87-153)
+    rs = np.random.RandomState(18)
+    x = rs.rand(2, 96, 96, 3).astype(np.float32)
+    with torch.no_grad():
+        h = nchw(x)
+        h = net.Conv2d_1a_3x3(h)
+        h = net.Conv2d_2a_3x3(h)
+        h = net.Conv2d_2b_3x3(h)
+        h = tnn.functional.max_pool2d(h, 3, stride=2)
+        h = net.Conv2d_3b_1x1(h)
+        h = net.Conv2d_4a_3x3(h)
+        h = tnn.functional.max_pool2d(h, 3, stride=2)
+        for name in ("Mixed_5b", "Mixed_5c", "Mixed_5d", "Mixed_6a",
+                     "Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e",
+                     "Mixed_7a", "Mixed_7b", "Mixed_7c"):
+            h = getattr(net, name)(h)
+        feats_ref = tnn.functional.adaptive_avg_pool2d(h, (1, 1))
+        feats_ref = feats_ref.reshape(2, -1).numpy()
+
+    used = set()
+    params = cc.convert_inception(sd, used=used)
+    assert used == set(sd), sorted(set(sd) - used)[:5]
+    ours = InceptionV3FID(resize_input=False).apply(
+        cc.to_jax(params), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), feats_ref, atol=3e-4)
+
+
+def test_local_correlation_vs_mmcv_semantics():
+    from mmcv.ops import Correlation  # shim: naive, documented layout
+
+    from mgldvsr_tpu.flow.maskflownet import local_correlation
+
+    rs = np.random.RandomState(17)
+    b, c, h, w, md = 1, 6, 10, 12, 2
+    f1 = rs.standard_normal((b, h, w, c)).astype(np.float32)
+    f2 = rs.standard_normal((b, h, w, c)).astype(np.float32)
+
+    ours = local_correlation(jnp.asarray(f1), jnp.asarray(f2), md=md)
+
+    corr = Correlation(kernel_size=1, max_displacement=md)(nchw(f1), nchw(f2))
+    corr = corr.view(b, -1, h, w) / c  # maskflownet_arch.py:230-234
+    np.testing.assert_allclose(
+        np.asarray(ours), corr.numpy().transpose(0, 2, 3, 1), atol=1e-5)
