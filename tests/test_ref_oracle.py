@@ -433,6 +433,41 @@ def test_modulated_deform_conv_vs_torchvision_semantics():
     np.testing.assert_allclose(np.asarray(ours), nhwc(ref), atol=1e-4)
 
 
+def test_vae_encoder_oracle():
+    """SD-VAE Encoder with return_fea taps (model.py:473-572)."""
+    from ldm.modules.diffusionmodules.model import Encoder as RefEncoder
+
+    from mgldvsr_tpu.models.vae import Encoder, VAEConfig
+
+    ref = RefEncoder(
+        ch=32, out_ch=3, ch_mult=(1, 1, 2, 2), num_res_blocks=2,
+        attn_resolutions=[], in_channels=3, resolution=64, z_channels=4,
+        double_z=True,
+    )
+    sd = randomize(ref, 10)
+
+    rs = np.random.RandomState(19)
+    x = rs.standard_normal((2, 64, 64, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        out_ref, fea_ref = ref(nchw(x), return_fea=True)
+
+    used = set()
+    params = {"params": cc.convert_vae_encoder(
+        cc.SDGet(sd, "", used), ch_mult=(1, 1, 2, 2), num_res_blocks=2,
+        attn_resolutions=(), resolution=64,
+    )}
+    assert used == set(sd), sorted(set(sd) - used)[:5]
+    cfg = VAEConfig(ch=32, ch_mult=(1, 1, 2, 2), num_res_blocks=2,
+                    attn_resolutions=(), resolution=64, z_channels=4)
+    ours, fea_ours = Encoder(cfg).apply(cc.to_jax(params), jnp.asarray(x),
+                                        return_fea=True)
+    np.testing.assert_allclose(np.asarray(ours), nhwc(out_ref), atol=2e-4)
+    assert len(fea_ours) == len(fea_ref) == 2
+    for fo, fr in zip(fea_ours, fea_ref):
+        np.testing.assert_allclose(np.asarray(fo), nhwc(fr), atol=2e-4)
+
+
 def test_fid_inception_oracle():
     """The FID-patched InceptionV3 pool3 tower vs the reference assembly
     (basicsr/archs/inception.py:17-154 block structure with FIDInceptionA/C/
@@ -488,6 +523,77 @@ def test_fid_inception_oracle():
     ours = InceptionV3FID(resize_input=False).apply(
         cc.to_jax(params), jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(ours), feats_ref, atol=3e-4)
+
+
+def test_compute_temporal_condition_v4_oracle():
+    """The motion-guidance warp loss (ddpm.py:3538-3574) — including its
+    zero-placeholder first terms and one-step-stale warps — vs our batched
+    ``temporal_warp_loss(mode='reference')``."""
+    from types import SimpleNamespace
+
+    from ldm.models.diffusion.ddpm import LatentDiffusionVSRTextWT
+
+    from mgldvsr_tpu.core.diffusion import temporal_warp_loss
+
+    b, t, c, h, w = 2, 5, 4, 8, 8
+    rs = np.random.RandomState(20)
+    latents = rs.standard_normal((b * t, h, w, c)).astype(np.float32)
+    ff = (rs.standard_normal((b, t - 1, h, w, 2)) * 1.5).astype(np.float32)
+    fb = (rs.standard_normal((b, t - 1, h, w, 2)) * 1.5).astype(np.float32)
+    occ_f = (rs.rand(b, t - 1, h, w, 1) > 0.7).astype(np.float32)
+    occ_b = (rs.rand(b, t - 1, h, w, 1) > 0.7).astype(np.float32)
+
+    self_ns = SimpleNamespace(num_frames=t)
+    lat_t = torch.from_numpy(
+        latents.reshape(b * t, h, w, c).transpose(0, 3, 1, 2).copy())
+    ff_t = torch.from_numpy(ff.transpose(0, 1, 4, 2, 3).copy())
+    fb_t = torch.from_numpy(fb.transpose(0, 1, 4, 2, 3).copy())
+    of_t = torch.from_numpy(occ_f.transpose(0, 1, 4, 2, 3).copy())
+    ob_t = torch.from_numpy(occ_b.transpose(0, 1, 4, 2, 3).copy())
+    with torch.no_grad():
+        loss_ref = LatentDiffusionVSRTextWT.compute_temporal_condition_v4(
+            self_ns, (ff_t, fb_t), lat_t, (of_t, ob_t))
+
+    loss_ours = temporal_warp_loss(
+        jnp.asarray(latents), (jnp.asarray(ff), jnp.asarray(fb)),
+        (jnp.asarray(occ_f), jnp.asarray(occ_b)), t, mode="reference")
+    np.testing.assert_allclose(float(loss_ours), float(loss_ref), atol=1e-5)
+
+
+def test_beta_schedule_and_respacing_oracle():
+    """make_beta_schedule (util.py:21-45) and space_timesteps (ddpm.py:101)
+    vs our schedule construction, at the MGLD config values."""
+    from ldm.models.diffusion.ddpm import space_timesteps as ref_space
+    from ldm.modules.diffusionmodules.util import make_beta_schedule
+
+    from mgldvsr_tpu.core import schedules as S
+
+    for kind in ("linear", "cosine", "sqrt_linear", "sqrt"):
+        ref_b = make_beta_schedule(kind, 1000, linear_start=0.00085,
+                                   linear_end=0.0120)
+        ref_b = ref_b.numpy() if hasattr(ref_b, "numpy") else np.asarray(ref_b)
+        ours = S.make_beta_schedule(kind, 1000, 0.00085, 0.0120)
+        np.testing.assert_allclose(ours, ref_b, atol=1e-12,
+                                   err_msg=f"betas[{kind}]")
+
+    for n, counts in ((1000, [50]), (1000, "ddim50"), (1000, [10, 20, 30]),
+                      (100, [7])):
+        assert S.space_timesteps(n, counts) == sorted(ref_space(n, counts)), (
+            n, counts)
+
+    sched = S.DiffusionSchedule.create(1000, "linear", 0.00085, 0.0120)
+    sp = S.respace_schedule(sched, 50)
+    assert int(sp.timestep_map[-1]) == 999
+    # respaced betas must satisfy the IDDPM identity:
+    # beta_i = 1 - acp[map[i]] / acp[map[i-1]]
+    acp = np.asarray(sched.alphas_cumprod, dtype=np.float64)
+    tmap = np.asarray(sp.timestep_map)
+    last = 1.0
+    expect = []
+    for ti in tmap:
+        expect.append(1.0 - acp[ti] / last)
+        last = acp[ti]
+    np.testing.assert_allclose(np.asarray(sp.betas), expect, rtol=2e-5)
 
 
 def test_local_correlation_vs_mmcv_semantics():
