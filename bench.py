@@ -131,6 +131,14 @@ def main():
                 "value": round(fps, 4),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / args.baseline_fps, 3),
+                "baseline_fps": args.baseline_fps,
+                "baseline_provenance": (
+                    "ESTIMATE (see BASELINE.md 'Anchor provenance'): the "
+                    "reference publishes no throughput; 0.25 fps assumes "
+                    "~20 s per 5-frame 512px segment on A100 for its "
+                    "unfused eager-torch 50-step guided loop. Override "
+                    "with --baseline-fps when a measured number exists."
+                ),
             }
         )
     )

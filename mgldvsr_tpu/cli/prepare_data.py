@@ -65,9 +65,11 @@ def extract_sub_images(
     return names
 
 
-def _worker(job: Tuple[str, str, int, int, int, int]) -> List[str]:
-    path, out_root, crop, step, thresh, comp = job
-    rel_dir = os.path.basename(os.path.dirname(path))
+def _worker(job: Tuple[str, str, str, int, int, int, int]) -> List[str]:
+    path, in_root, out_root, crop, step, thresh, comp = job
+    # full relative clip path, not just the parent basename: nested layouts
+    # (train/000 vs val/000) must not collide in the output tree
+    rel_dir = os.path.relpath(os.path.dirname(path), in_root)
     out_dir = os.path.join(out_root, rel_dir)
     os.makedirs(out_dir, exist_ok=True)
     names = extract_sub_images(path, out_dir, crop, step, thresh, comp)
@@ -90,7 +92,7 @@ def main(argv=None):
     for root, _, files in sorted(os.walk(args.input)):
         for f in sorted(files):
             if f.lower().endswith((".png", ".jpg", ".jpeg", ".bmp")):
-                jobs.append((os.path.join(root, f), args.output,
+                jobs.append((os.path.join(root, f), args.input, args.output,
                              args.crop_size, args.step, args.thresh_size,
                              args.compression))
     os.makedirs(args.output, exist_ok=True)

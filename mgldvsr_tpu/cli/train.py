@@ -97,6 +97,11 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=23)
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model configs (smoke/CI)")
+    ap.add_argument("--no-tb", action="store_true",
+                    help="disable tensorboard event files")
+    ap.add_argument("--sample-rows", action="store_true",
+                    help="log sampler rows (reconstruction/samples/"
+                         "denoise_row) at every image-log step")
     args = ap.parse_args(argv)
 
     import jax
@@ -115,10 +120,15 @@ def main(argv=None):
 
     print(env_info(), flush=True)
     os.makedirs(args.logdir, exist_ok=True)
+    tb = None
+    if not args.no_tb:
+        from mgldvsr_tpu.utils.tb import TBEventWriter
+
+        tb = TBEventWriter(os.path.join(args.logdir, "tb"))
     msg = MessageLogger(args.max_steps,
                         os.path.join(args.logdir, "metrics.jsonl"),
-                        args.log_every)
-    imglog = ImageLogger(args.logdir, args.image_every)
+                        args.log_every, tb=tb)
+    imglog = ImageLogger(args.logdir, args.image_every, tb=tb)
     ckpt = CheckpointManager(os.path.join(args.logdir, "ckpt"),
                              save_interval_steps=args.ckpt_every)
 
@@ -183,8 +193,20 @@ def main(argv=None):
                     ckpt.save(step, state,
                               metrics={k_: float(v) for k_, v in metrics.items()})
                     if imglog.should_log(step):
-                        imglog.log_images(step, {
-                            "lq": np.asarray(lq), "gt": np.asarray(gt)})
+                        rows = {"lq": np.asarray(lq), "gt": np.asarray(gt)}
+                        if args.sample_rows:
+                            from mgldvsr_tpu.train.trainer import merge_params
+
+                            rng, ks = jax.random.split(rng)
+                            rows.update({
+                                k_: np.asarray(v) for k_, v in
+                                pipe.log_images(
+                                    merge_params(state.trainable,
+                                                 state.frozen),
+                                    lq, ks,
+                                ).items()
+                            })
+                        imglog.log_images(step, rows)
                     if step >= args.max_steps:
                         break
                 epoch += 1

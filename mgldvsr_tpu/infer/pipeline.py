@@ -241,6 +241,48 @@ class MGLDVSRPipeline:
         return jnp.clip((fixed + 1.0) / 2.0, 0.0, 1.0)
 
 
+    def log_images(self, params, frames_01: jnp.ndarray, rng: jax.Array,
+                   n_row: int = 4, dec_w: Optional[float] = None):
+        """Reference-style training-log rows (ddpm.py:4765-4876 log_images /
+        main.py:291-395 ImageLogger): ``inputs`` (the LQ clip),
+        ``reconstruction`` (VAE roundtrip with fusion features), ``samples``
+        (full guided restore), and ``denoise_row`` (n_row evenly spaced
+        intermediate latents of the reverse process, decoded; frame 0 of
+        each). All [N, H, W, 3] in [0, 1]."""
+        cfg = self.cfg
+        k_enc, k_xt, k_samp = jax.random.split(rng, 3)
+        frames_pm1 = frames_01 * 2.0 - 1.0
+        init_latent, enc_fea = self.encode(params, frames_pm1, k_enc)
+        context = self.embed_empty_prompt(params, frames_01.shape[0])
+        flows, masks = self.compute_flows(params, frames_01)
+        x_T = initial_latents(self.base_sched, init_latent, k_xt)
+        scfg = SamplerConfig(
+            num_frames=cfg.num_frames,
+            guidance_scale=cfg.guidance_scale,
+            guidance_mode=cfg.guidance_mode,
+            return_intermediates=True,
+        )
+        out = sample_video(
+            self.sched, self.denoise_fn(params, init_latent, context),
+            x_T, k_samp, scfg, flows, masks,
+        )
+        recon = self.decode(params, init_latent, enc_fea, dec_w)
+        samples = self.decode(params, out.latents, enc_fea, dec_w)
+        inter = out.intermediates  # [steps, (t), h, w, c]
+        import numpy as _np
+
+        idxs = _np.linspace(0, inter.shape[0] - 1, n_row).astype(int)
+        row = [
+            self.decode(params, inter[i], enc_fea, dec_w)[0] for i in idxs
+        ]
+        to01 = lambda x: jnp.clip((x + 1.0) / 2.0, 0.0, 1.0)
+        return {
+            "inputs": frames_01,
+            "reconstruction": to01(recon),
+            "samples": to01(samples),
+            "denoise_row": to01(jnp.stack(row)),
+        }
+
     def restore_segment_canvas(
         self,
         params,

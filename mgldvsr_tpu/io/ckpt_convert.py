@@ -657,6 +657,60 @@ def convert_raft(sd: Mapping[str, Any], prefix: str = "",
     return {"params": params}
 
 
+def deconv_kernel(w) -> np.ndarray:
+    """torch ConvTranspose2d [in, out, kh, kw] -> flax ConvTranspose
+    [kh, kw, in, out], spatially flipped (lax.conv_transpose with
+    transpose_kernel=False does not flip; torch's operator does)."""
+    w = _np(w)
+    return np.ascontiguousarray(w.transpose(2, 3, 0, 1)[::-1, ::-1])
+
+
+def convert_maskflownet(sd: Mapping[str, Any], prefix: str = "",
+                        used: Optional[set] = None) -> Dict[str, Any]:
+    """maskflownet-ft-sintel ckpt (MaskFlownet_S,
+    basicsr/archs/maskflownet_arch.py:91-440) -> flow.maskflownet.MaskFlownetS.
+
+    Name map: conv{i}{a,b,c}.0 -> enc{i-1}{a,b,c}; conv{k}_{j}.0 ->
+    head{k-1}/conv_{j}; upfeat{k}/deform{k}/conv{k}f -> *{k-1};
+    dc_conv{1..6}.0 -> dc{0..5}; dc_conv7 -> dc_flow."""
+    g = SDGet(sd, prefix, used)
+    params: Dict[str, Any] = {}
+    for i in range(1, 7):
+        for s in "abc":
+            params[f"enc{i - 1}{s}"] = {"conv": g.conv(f"conv{i}{s}.0")}
+
+    def head(ref_prefix: str, name: str):
+        params[name] = {
+            f"conv_{j}": {"conv": g.conv(f"{ref_prefix}_{j}.0")}
+            for j in range(5)
+        }
+
+    head("conv6", "head6")
+    params["pred_flow6"] = g.conv("pred_flow6")
+    params["pred_mask6"] = g.conv("pred_mask6")
+    for k in (5, 4, 3, 2):  # reference level k == our level k-1
+        o = k - 1
+        params[f"upfeat{o}"] = {
+            "deconv": {
+                "kernel": deconv_kernel(g.raw(f"upfeat{k}.weight")),
+                "bias": _np(g.raw(f"upfeat{k}.bias")),
+            }
+        }
+        params[f"deform{o}"] = {
+            "weight": conv_kernel(g.raw(f"deform{k}.weight")),
+            "bias": _np(g.raw(f"deform{k}.bias")),
+        }
+        params[f"convf{o}"] = g.conv(f"conv{k}f.0")
+        head(f"conv{k}", f"head{o}")
+        params[f"pred_flow{o}"] = g.conv(f"pred_flow{k}")
+        if k != 2:
+            params[f"pred_mask{o}"] = g.conv(f"pred_mask{k}")
+    for i in range(1, 7):
+        params[f"dc{i - 1}"] = {"conv": g.conv(f"dc_conv{i}.0")}
+    params["dc_flow"] = g.conv("dc_conv7")
+    return {"params": params}
+
+
 def convert_spynet(sd: Mapping[str, Any], prefix: str = "",
                    used: Optional[set] = None) -> Dict[str, Any]:
     """spynet_sintel_final ckpt ({'params': ...} wrapper handled by caller)."""

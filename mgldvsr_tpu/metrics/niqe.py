@@ -67,6 +67,44 @@ def _default_gaussian_window() -> np.ndarray:
     return (w / w.sum()).astype(np.float64)
 
 
+def _image_features(
+    img: np.ndarray,
+    block_size_h: int = 96,
+    block_size_w: int = 96,
+    gaussian_window: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Per-block 36-dim NIQE features (both scales) for one gray [0,255]
+    image — the single feature path shared by scoring (:func:`niqe_core`)
+    and pristine-model fitting (:func:`fit_niqe_params`)."""
+    assert cv2 is not None, "cv2 required for NIQE"
+    if gaussian_window is None:
+        gaussian_window = _default_gaussian_window()
+    h, w = img.shape
+    num_block_h = math.floor(h / block_size_h)
+    num_block_w = math.floor(w / block_size_w)
+    img = img[: num_block_h * block_size_h, : num_block_w * block_size_w]
+    distparam = []
+    for scale in (1, 2):
+        mu = cv2.filter2D(img, -1, gaussian_window,
+                          borderType=cv2.BORDER_REPLICATE)
+        sigma = np.sqrt(np.abs(
+            cv2.filter2D(img**2, -1, gaussian_window,
+                         borderType=cv2.BORDER_REPLICATE) - mu**2))
+        img_norm = (img - mu) / (sigma + 1)
+        bh = block_size_h // scale
+        bw = block_size_w // scale
+        feats = [
+            compute_feature(
+                img_norm[i * bh : (i + 1) * bh, j * bw : (j + 1) * bw])
+            for i in range(num_block_h) for j in range(num_block_w)
+        ]
+        distparam.append(np.array(feats))
+        if scale == 1:
+            img = cv2.resize(img / 255.0, (w // 2, h // 2),
+                             interpolation=cv2.INTER_LINEAR) * 255.0
+    return np.concatenate(distparam, axis=1)
+
+
 def niqe_core(
     img: np.ndarray,
     mu_pris: np.ndarray,
@@ -76,74 +114,14 @@ def niqe_core(
     block_size_w: int = 96,
 ) -> float:
     """img: gray [0,255] float64."""
-    if gaussian_window is None:
-        gaussian_window = _default_gaussian_window()
-    assert cv2 is not None, "cv2 required for NIQE"
-    h, w = img.shape
-    num_block_h = math.floor(h / block_size_h)
-    num_block_w = math.floor(w / block_size_w)
-    img = img[: num_block_h * block_size_h, : num_block_w * block_size_w]
-
-    distparam = []
-    for scale in (1, 2):
-        mu = cv2.filter2D(img, -1, gaussian_window,
-                          borderType=cv2.BORDER_REPLICATE)
-        sigma = np.sqrt(
-            np.abs(
-                cv2.filter2D(img**2, -1, gaussian_window,
-                             borderType=cv2.BORDER_REPLICATE)
-                - mu**2
-            )
-        )
-        img_norm = (img - mu) / (sigma + 1)
-
-        feats = []
-        bh = block_size_h // scale
-        bw = block_size_w // scale
-        for i in range(num_block_h):
-            for j in range(num_block_w):
-                block = img_norm[i * bh : (i + 1) * bh, j * bw : (j + 1) * bw]
-                feats.append(compute_feature(block))
-        distparam.append(np.array(feats))
-        if scale == 1:
-            img = cv2.resize(img / 255.0, (w // 2, h // 2),
-                             interpolation=cv2.INTER_LINEAR) * 255.0
-    distparam = np.concatenate(distparam, axis=1)
-
+    distparam = _image_features(img, block_size_h, block_size_w,
+                                gaussian_window)
     mu_distparam = np.nanmean(distparam, axis=0)
     dist_no_nan = distparam[~np.isnan(distparam).any(axis=1)]
     cov_distparam = np.cov(dist_no_nan, rowvar=False)
     invcov = np.linalg.pinv((cov_pris + cov_distparam) / 2)
     diff = mu_pris - mu_distparam
     return float(np.sqrt(diff @ invcov @ diff.T))
-
-
-def _image_features(img: np.ndarray, block_size: int = 96) -> np.ndarray:
-    """Per-block 36-dim NIQE features (both scales) for one gray image."""
-    gaussian_window = _default_gaussian_window()
-    h, w = img.shape
-    num_block_h = math.floor(h / block_size)
-    num_block_w = math.floor(w / block_size)
-    img = img[: num_block_h * block_size, : num_block_w * block_size]
-    distparam = []
-    for scale in (1, 2):
-        mu = cv2.filter2D(img, -1, gaussian_window,
-                          borderType=cv2.BORDER_REPLICATE)
-        sigma = np.sqrt(np.abs(
-            cv2.filter2D(img**2, -1, gaussian_window,
-                         borderType=cv2.BORDER_REPLICATE) - mu**2))
-        img_norm = (img - mu) / (sigma + 1)
-        bs = block_size // scale
-        feats = [
-            compute_feature(
-                img_norm[i * bs : (i + 1) * bs, j * bs : (j + 1) * bs])
-            for i in range(num_block_h) for j in range(num_block_w)
-        ]
-        distparam.append(np.array(feats))
-        if scale == 1:
-            img = cv2.resize(img / 255.0, (w // 2, h // 2),
-                             interpolation=cv2.INTER_LINEAR) * 255.0
-    return np.concatenate(distparam, axis=1)
 
 
 def fit_niqe_params(images, out_path: Optional[str] = None,
@@ -164,7 +142,7 @@ def fit_niqe_params(images, out_path: Optional[str] = None,
     """
     assert cv2 is not None, "cv2 required for NIQE fitting"
     feats = np.concatenate(
-        [_image_features(np.asarray(im, np.float64), block_size)
+        [_image_features(np.asarray(im, np.float64), block_size, block_size)
          for im in images], axis=0)
     feats = feats[~np.isnan(feats).any(axis=1)]
     mu = np.mean(feats, axis=0)

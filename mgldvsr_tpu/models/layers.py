@@ -149,7 +149,6 @@ class Upsample(nn.Module):
         if not self.use_conv:
             return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
         kernel, bias = _ConvParams(c, self.channels, name="conv")()
-        kernel = kernel.astype(self.dtype)
         bias = bias.astype(self.dtype)
         x = x.astype(self.dtype)
         dn = ("NHWC", "HWIO", "NHWC")
@@ -158,11 +157,14 @@ class Upsample(nn.Module):
             ga = _PHASE_GROUPS[a]
             for b in (0, 1):
                 gb = _PHASE_GROUPS[b]
+                # fold taps in fp32, cast the folded 2x2 kernel after: the
+                # repeat+conv form accumulates all 9 taps in fp32 on the MXU,
+                # so summing in bf16 here would round more than necessary
                 k2 = jnp.stack([
                     jnp.stack([
                         sum(kernel[ky, kx] for ky in ga[p] for kx in gb[q])
                         for q in (0, 1)], axis=0)
-                    for p in (0, 1)], axis=0)  # [2, 2, C, Cout]
+                    for p in (0, 1)], axis=0).astype(self.dtype)  # [2,2,C,Co]
                 pad = ((1 - a, a), (1 - b, b))
                 y = jax.lax.conv_general_dilated(
                     x, k2, window_strides=(1, 1), padding=pad,

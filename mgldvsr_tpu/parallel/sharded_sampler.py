@@ -91,7 +91,7 @@ def sample_video_sharded(
             x, k = carry
             k, sub = jax.random.split(k)
             mean, _, log_var = p_mean_variance(sched, denoise_fn, x, i, cfg)
-            noise = jax.random.normal(sub, x.shape, x.dtype)
+            noise = jax.random.normal(sub, x.shape, x.dtype) * cfg.temperature
             nonzero = (i > 0).astype(x.dtype)
             latents = mean + nonzero * jnp.exp(0.5 * log_var) * noise
 

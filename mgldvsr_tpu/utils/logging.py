@@ -20,11 +20,12 @@ import numpy as np
 
 class MessageLogger:
     def __init__(self, total_iters: int, log_path: Optional[str] = None,
-                 print_freq: int = 100):
+                 print_freq: int = 100, tb=None):
         self.total_iters = total_iters
         self.print_freq = print_freq
         self.start = time.time()
         self.log_path = log_path
+        self.tb = tb  # optional utils.tb.TBEventWriter
         if log_path:
             os.makedirs(os.path.dirname(os.path.abspath(log_path)), exist_ok=True)
 
@@ -37,6 +38,8 @@ class MessageLogger:
         if self.log_path:
             with open(self.log_path, "a") as f:
                 f.write(json.dumps(record) + "\n")
+        if self.tb is not None:
+            self.tb.scalars(record, step)
         if step % self.print_freq == 0:
             elapsed = time.time() - self.start
             eta = elapsed / max(step, 1) * (self.total_iters - step)
@@ -66,10 +69,12 @@ def make_grid(images: np.ndarray, nrow: int = 4, pad: int = 2) -> np.ndarray:
 class ImageLogger:
     """Renders dicts of [N,H,W,C] float[0,1] arrays to PNG grids."""
 
-    def __init__(self, logdir: str, every_n_steps: int = 750, max_images: int = 4):
+    def __init__(self, logdir: str, every_n_steps: int = 750,
+                 max_images: int = 4, tb=None):
         self.logdir = logdir
         self.every = every_n_steps
         self.max_images = max_images
+        self.tb = tb  # optional utils.tb.TBEventWriter
 
     def should_log(self, step: int) -> bool:
         return step % self.every == 0
@@ -85,6 +90,8 @@ class ImageLogger:
             grid = make_grid(np.clip(arr, 0, 1))
             path = os.path.join(outdir, f"{key}_step{step:08d}.png")
             cv2.imwrite(path, (grid[..., ::-1] * 255).astype(np.uint8))
+            if self.tb is not None:
+                self.tb.image(f"{split}/{key}", grid, step)
 
 
 def env_info() -> str:

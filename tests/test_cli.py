@@ -136,13 +136,28 @@ def test_train_cli_stage1_tiny_two_steps(tmp_path):
     logdir = str(tmp_path / "run")
     main(["--stage", "1", "--data-root", str(gt_root), "--logdir", logdir,
           "--max-steps", "2", "--tiny", "--grad-accum", "1",
-          "--ckpt-every", "1", "--log-every", "1", "--image-every", "1"])
+          "--ckpt-every", "1", "--log-every", "1", "--image-every", "1",
+          "--sample-rows"])
     lines = [json.loads(l) for l in
              open(os.path.join(logdir, "metrics.jsonl"))]
     assert lines and np.isfinite(lines[-1]["loss"])
     assert os.path.isdir(os.path.join(logdir, "ckpt"))
     ckpts = os.listdir(os.path.join(logdir, "ckpt"))
     assert any(c.isdigit() or c.startswith(("1", "2")) for c in ckpts)
+    # tensorboard event file with scalar records
+    tbdir = os.path.join(logdir, "tb")
+    events = [f for f in os.listdir(tbdir) if f.startswith("events.out")]
+    assert events, "no tfevents file written"
+    from tests.test_runtime_utils import read_tfevents
+
+    recs = read_tfevents(os.path.join(tbdir, events[0]))
+    assert any(t == "loss" for t, _, _ in recs["scalars"]), recs["scalars"][:3]
+    assert recs["images"], "no image summaries logged"
+    # reference-style sampler rows rendered as PNG grids
+    imgdir = os.path.join(logdir, "images", "train")
+    names = os.listdir(imgdir)
+    for row in ("samples", "reconstruction", "denoise_row", "inputs"):
+        assert any(n.startswith(row) for n in names), (row, names)
 
 
 def test_train_cli_stage2_tiny_one_step(tmp_path):

@@ -560,6 +560,43 @@ def test_compute_temporal_condition_v4_oracle():
     np.testing.assert_allclose(float(loss_ours), float(loss_ref), atol=1e-5)
 
 
+def test_maskflownet_oracle():
+    """MaskFlownet_S (maskflownet_arch.py:91-440) vs our MaskFlownetS via
+    convert_maskflownet: PWC pyramid, DCN warp with shared flow offsets,
+    mask tradeoff, dense heads, dilated context net."""
+    from basicsr.archs.maskflownet_arch import MaskFlownet_S
+
+    from mgldvsr_tpu.flow.maskflownet import MaskFlownetConfig, MaskFlownetS
+    from mgldvsr_tpu.io.ckpt_convert import convert_maskflownet
+
+    ref = MaskFlownet_S()
+    sd = randomize(ref, 21)
+    # keep activations O(1): the dense concat heads (300-500 in-channels)
+    # amplify std-0.1 random weights to ~1e13 by the finest level, where
+    # fp32 noise swamps any tolerance; scale conv weights to ~std 0.02 and
+    # flow/mask predictions to sub-pixel
+    for k in list(sd):
+        if sd[k].dim() >= 2:
+            sd[k] = sd[k] * 0.2
+        if k.startswith(("pred_flow", "pred_mask", "dc_conv7")):
+            sd[k] = sd[k] * 0.05
+    ref.load_state_dict(sd)
+    ref.eval()
+
+    rs = np.random.RandomState(22)
+    im1 = rs.rand(1, 128, 128, 3).astype(np.float32)
+    im2 = rs.rand(1, 128, 128, 3).astype(np.float32)
+    with torch.no_grad():
+        flow_ref = ref(nchw(im1), nchw(im2))
+
+    used = set()
+    params = convert_maskflownet(sd, used=used)
+    assert used == set(sd), sorted(set(sd) - used)[:5]
+    ours = MaskFlownetS(MaskFlownetConfig()).apply(
+        cc.to_jax(params), jnp.asarray(im1), jnp.asarray(im2))
+    np.testing.assert_allclose(np.asarray(ours), nhwc(flow_ref), atol=5e-4)
+
+
 def test_beta_schedule_and_respacing_oracle():
     """make_beta_schedule (util.py:21-45) and space_timesteps (ddpm.py:101)
     vs our schedule construction, at the MGLD config values."""

@@ -110,3 +110,155 @@ def test_pca_components_and_timer():
     t.start()
     t.stop(jnp.ones(()))
     assert t.best > 0
+
+
+# --- tensorboard event writer ------------------------------------------------
+
+
+def read_tfevents(path):
+    """Independent tfevents reader: validates TFRecord masked-crc framing and
+    decodes Event protos (scalars + image tags) with a minimal parser."""
+    import struct
+
+    from mgldvsr_tpu.utils import tb as tbmod
+
+    scalars, images, version = [], [], None
+    with open(path, "rb") as f:
+        data = f.read()
+    off = 0
+    while off < len(data):
+        (length,) = struct.unpack_from("<Q", data, off)
+        (len_crc,) = struct.unpack_from("<I", data, off + 8)
+        assert len_crc == tbmod._masked_crc(data[off:off + 8])
+        payload = data[off + 12:off + 12 + length]
+        (crc,) = struct.unpack_from("<I", data, off + 12 + length)
+        assert crc == tbmod._masked_crc(payload)
+        off += 12 + length + 4
+
+        # parse Event fields
+        p, step, summary = 0, None, None
+        while p < len(payload):
+            key = payload[p]
+            field, wire = key >> 3, key & 7
+            p += 1
+            if wire == 0:
+                v = 0
+                shift = 0
+                while True:
+                    b = payload[p]
+                    p += 1
+                    v |= (b & 0x7F) << shift
+                    shift += 7
+                    if not b & 0x80:
+                        break
+                if field == 2:
+                    step = v
+            elif wire == 1:
+                p += 8
+            elif wire == 5:
+                p += 4
+            elif wire == 2:
+                ln = 0
+                shift = 0
+                while True:
+                    b = payload[p]
+                    p += 1
+                    ln |= (b & 0x7F) << shift
+                    shift += 7
+                    if not b & 0x80:
+                        break
+                chunk = payload[p:p + ln]
+                p += ln
+                if field == 3:
+                    version = chunk.decode()
+                elif field == 5:
+                    summary = chunk
+        if summary:
+            # Summary: repeated Value field 1
+            q = 0
+            while q < len(summary):
+                assert summary[q] == 0x0A  # field 1, wire 2
+                q += 1
+                ln = 0
+                shift = 0
+                while True:
+                    b = summary[q]
+                    q += 1
+                    ln |= (b & 0x7F) << shift
+                    shift += 7
+                    if not b & 0x80:
+                        break
+                val = summary[q:q + ln]
+                q += ln
+                r, tag, simple, has_img = 0, None, None, False
+                while r < len(val):
+                    key = val[r]
+                    field, wire = key >> 3, key & 7
+                    r += 1
+                    if wire == 2:
+                        ln2 = 0
+                        shift = 0
+                        while True:
+                            b = val[r]
+                            r += 1
+                            ln2 |= (b & 0x7F) << shift
+                            shift += 7
+                            if not b & 0x80:
+                                break
+                        if field == 1:
+                            tag = val[r:r + ln2].decode()
+                        elif field == 4:
+                            has_img = True
+                        r += ln2
+                    elif wire == 5:
+                        if field == 2:
+                            (simple,) = struct.unpack_from("<f", val, r)
+                        r += 4
+                    elif wire == 0:
+                        while val[r] & 0x80:
+                            r += 1
+                        r += 1
+                    elif wire == 1:
+                        r += 8
+                if simple is not None:
+                    scalars.append((tag, simple, step))
+                if has_img:
+                    images.append((tag, step))
+    assert version == "brain.Event:2"
+    return {"scalars": scalars, "images": images}
+
+
+def test_tb_event_writer_roundtrip(tmp_path):
+    from mgldvsr_tpu.utils.tb import TBEventWriter
+
+    w = TBEventWriter(str(tmp_path))
+    w.scalar("loss", 0.125, step=1)
+    w.scalars({"a": 2.0, "vec": np.ones(3)}, step=2)  # non-scalars skipped
+    w.image("grid", np.random.RandomState(0).rand(8, 10, 3), step=3)
+    w.close()
+
+    files = [f for f in os.listdir(tmp_path) if f.startswith("events.out")]
+    assert len(files) == 1
+    recs = read_tfevents(os.path.join(tmp_path, files[0]))
+    assert ("loss", 0.125, 1) in recs["scalars"]
+    assert ("a", 2.0, 2) in recs["scalars"]
+    assert all(t != "vec" for t, _, _ in recs["scalars"])
+    assert recs["images"] == [("grid", 3)]
+
+
+def test_tb_png_fallback_decodes():
+    """The pure-zlib PNG fallback must produce a decodable, pixel-exact
+    image (checked with cv2 as the independent decoder)."""
+    import cv2
+
+    from mgldvsr_tpu.utils import tb as tbmod
+
+    img = np.random.RandomState(1).rand(6, 7, 3).astype(np.float32)
+    # force the fallback branch by hiding cv2 from the encoder
+    import unittest.mock as mock
+
+    with mock.patch.dict("sys.modules", {"cv2": None}):
+        png = tbmod._png_encode(img)
+    arr = cv2.imdecode(np.frombuffer(png, np.uint8), cv2.IMREAD_UNCHANGED)
+    expect = (np.clip(img, 0, 1) * 255 + 0.5).astype(np.uint8)
+    np.testing.assert_array_equal(arr[..., ::-1], expect)
