@@ -38,6 +38,13 @@ def main():
     ap.add_argument("--iters", type=int, default=3, help="timed repetitions")
     ap.add_argument("--baseline-fps", type=float, default=0.25)
     ap.add_argument("--no-guidance", action="store_true")
+    ap.add_argument("--mode", choices=["segment", "tile", "train"],
+                    default="segment",
+                    help="segment: fixed 512px window (the headline metric);"
+                         " tile: arbitrary-resolution canvas protocol"
+                         " (320x180 -> 1280x720, the reference's VideoLQ"
+                         " use case); train: stage-1 step throughput with"
+                         " and without activation remat")
     args = ap.parse_args()
 
     if args.tiny:
@@ -93,6 +100,49 @@ def main():
             raft=RAFTConfig(iters=10),
         )
 
+    if args.mode == "train":
+        import dataclasses as _dc
+
+        from mgldvsr_tpu.train.trainer import Stage1Config, Stage1Trainer
+
+        results = {}
+        for remat in (False, True):
+            tcfg = _dc.replace(
+                cfg,
+                unet=_dc.replace(cfg.unet, use_checkpoint=remat),
+                structcond=_dc.replace(cfg.structcond, use_checkpoint=remat),
+            )
+            tpipe = MGLDVSRPipeline(tcfg)
+            tparams = tpipe.init_params(jax.random.PRNGKey(0), size, size)
+            trainer = Stage1Trainer(tpipe, Stage1Config(grad_accum=1))
+            state = trainer.init_state(tparams)
+            step_fn = jax.jit(trainer.train_step)
+            lq = jax.random.uniform(jax.random.PRNGKey(1), (t, size, size, 3))
+            gt = jax.random.uniform(jax.random.PRNGKey(2), (t, size, size, 3))
+            state, m = jax.block_until_ready(
+                step_fn(state, lq, gt, jax.random.PRNGKey(3)))
+            times = []
+            for i in range(args.iters):
+                t0 = time.perf_counter()
+                state, m = jax.block_until_ready(
+                    step_fn(state, lq, gt, jax.random.PRNGKey(4 + i)))
+                times.append(time.perf_counter() - t0)
+            stats = jax.local_devices()[0].memory_stats() or {}
+            results["remat" if remat else "noremat"] = {
+                "steps_per_sec": round(1.0 / min(times), 4),
+                "peak_hbm_gb": round(
+                    stats.get("peak_bytes_in_use", 0) / 2**30, 3),
+            }
+            del state, step_fn, trainer, tparams
+        print(json.dumps({
+            "metric": f"stage1 train steps/sec @{size}px {t}-frame clip",
+            "value": results["noremat"]["steps_per_sec"],
+            "unit": "steps/sec",
+            "vs_baseline": 0.0,
+            "detail": results,
+        }))
+        return
+
     pipe = MGLDVSRPipeline(cfg)
     rng = jax.random.PRNGKey(0)
     # fast shape-based init (host-side; no XLA compile)
@@ -105,6 +155,38 @@ def main():
             if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
             params,
         )
+    if args.mode == "tile":
+        # the reference's real use case (oldcanvas_tile): 320x180 LQ -> x4
+        # 1280x720 via bicubic pre-upscale, /32 pad, overlapping 960px
+        # patches, canvas restore per patch, overlap-average gather
+        lh, lw = (24, 40) if args.tiny else (180, 320)
+        lq = jax.random.uniform(jax.random.PRNGKey(1), (t, lh, lw, 3))
+        t0 = time.perf_counter()
+        out = pipe.restore_video(params, lq, jax.random.PRNGKey(2),
+                                 use_guidance=not args.no_guidance)
+        first = time.perf_counter() - t0
+        assert np.isfinite(out[0, 0, 0]).all()
+        times = []
+        for i in range(args.iters):
+            t0 = time.perf_counter()
+            pipe.restore_video(params, lq, jax.random.PRNGKey(3 + i),
+                               use_guidance=not args.no_guidance)
+            times.append(time.perf_counter() - t0)
+        best = min(times)
+        fps = t / best
+        print(json.dumps({
+            "metric": (f"frames/sec/chip x4 VSR {lw}x{lh}->"
+                       f"{lw * 4}x{lh * 4} tiled-canvas "
+                       f"{steps}-step guided DDPM"),
+            "value": round(fps, 4),
+            "unit": "frames/sec",
+            "vs_baseline": round(fps / args.baseline_fps, 3),
+            "baseline_fps": args.baseline_fps,
+            "first_call_s": round(first, 2),
+            "steady_s_per_clip": round(best, 3),
+        }))
+        return
+
     frames = jax.random.uniform(jax.random.PRNGKey(1), (t, size, size, 3))
 
     restore = jax.jit(
