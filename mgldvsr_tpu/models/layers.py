@@ -83,14 +83,66 @@ class GroupNorm(nn.Module):
         return x * a.astype(dt).reshape(shape) + b.astype(dt).reshape(shape)
 
 
-def group_norm(num_groups: int = 32, eps: float = 1e-5, dtype: Dtype = jnp.float32):
+def group_norm(num_groups: int = 32, eps: float = 1e-5,
+               dtype: Dtype = jnp.float32, name: Optional[str] = None):
     # fp32 compute: flax's exact two-pass GroupNorm (bit-stable goldens).
     # Low precision: the bandwidth-lean fast-variance version above — stats
     # still accumulate fp32, but nothing fp32 ever hits HBM.
     if dtype == jnp.float32:
         return nn.GroupNorm(num_groups=num_groups, epsilon=eps, dtype=dtype,
-                            param_dtype=jnp.float32)
-    return GroupNorm(num_groups=num_groups, epsilon=eps, dtype=dtype)
+                            param_dtype=jnp.float32, name=name)
+    return GroupNorm(num_groups=num_groups, epsilon=eps, dtype=dtype,
+                     name=name)
+
+
+class _GNParams(nn.Module):
+    """GroupNorm affine params only (scale/bias), for the fused path. Pass
+    ``name="GroupNorm_N"`` so the tree matches the unfused layout."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return scale, bias
+
+
+def fused_gn_conv_enabled() -> bool:
+    """MGLD_FUSED_GN_CONV: '1' force on, 'auto' on-TPU-only, else off."""
+    import os
+
+    flag = os.environ.get("MGLD_FUSED_GN_CONV", "0").lower()
+    if flag in ("1", "true", "on"):
+        return True
+    if flag == "auto":
+        return jax.default_backend() == "tpu"
+    return False
+
+
+def norm_silu_conv3x3(x, out_channels: int, dtype: Dtype, conv_name: str,
+                      gn_name: str, *, zero_init: bool = False,
+                      groups: int = 32, eps: float = 1e-5):
+    """GN -> SiLU -> conv3x3 — as ONE Pallas megakernel when enabled
+    (ops/pallas/gn_silu_conv.py), else the plain composition. Must be called
+    inside a parent ``@nn.compact``; the param tree is identical either way
+    (``{gn_name}/{scale,bias}`` + ``{conv_name}/{kernel,bias}``)."""
+    c_in = x.shape[-1]
+    if fused_gn_conv_enabled() and x.ndim == 4:
+        from mgldvsr_tpu.ops.pallas.gn_silu_conv import gn_silu_conv3x3
+
+        gscale, gbias = _GNParams(c_in, name=gn_name)()
+        kernel, bias = _ConvParams(c_in, out_channels, zero_init=zero_init,
+                                   name=conv_name)()
+        return gn_silu_conv3x3(x.astype(dtype), gscale, gbias,
+                               kernel.astype(dtype), bias,
+                               groups=groups, eps=eps)
+    h = group_norm(groups, eps, dtype, name=gn_name)(x)
+    h = nn.silu(h)
+    return conv3x3(out_channels, dtype, zero_init=zero_init,
+                   name=conv_name)(h)
 
 
 def conv3x3(features: int, dtype: Dtype = jnp.float32, zero_init: bool = False,
@@ -112,10 +164,13 @@ class _ConvParams(nn.Module):
 
     in_channels: int
     features: int
+    zero_init: bool = False
 
     @nn.compact
     def __call__(self):
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+        init = (nn.initializers.zeros if self.zero_init
+                else nn.initializers.lecun_normal())
+        kernel = self.param("kernel", init,
                             (3, 3, self.in_channels, self.features),
                             jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
@@ -236,15 +291,19 @@ class UNetResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, emb, deterministic: bool = True):
         c_in = x.shape[-1]
-        h = group_norm(dtype=self.dtype)(x)
-        h = nn.silu(h)
-        if self.up:
-            h = _nearest2x(h)
-            x = _nearest2x(x)
-        elif self.down:
-            h = nn.avg_pool(h, (2, 2), strides=(2, 2))
-            x = nn.avg_pool(x, (2, 2), strides=(2, 2))
-        h = conv3x3(self.out_channels, self.dtype, name="conv1")(h)
+        if not (self.up or self.down):
+            h = norm_silu_conv3x3(x, self.out_channels, self.dtype,
+                                  "conv1", "GroupNorm_0")
+        else:
+            h = group_norm(dtype=self.dtype, name="GroupNorm_0")(x)
+            h = nn.silu(h)
+            if self.up:
+                h = _nearest2x(h)
+                x = _nearest2x(x)
+            else:
+                h = nn.avg_pool(h, (2, 2), strides=(2, 2))
+                x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+            h = conv3x3(self.out_channels, self.dtype, name="conv1")(h)
 
         emb_out = nn.Dense(
             2 * self.out_channels if self.use_scale_shift_norm else self.out_channels,
@@ -254,13 +313,23 @@ class UNetResBlock(nn.Module):
 
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = group_norm(dtype=self.dtype)(h) * (1 + scale) + shift
+            h = group_norm(dtype=self.dtype, name="GroupNorm_1")(h) \
+                * (1 + scale) + shift
+            h = nn.silu(h)
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+            h = conv3x3(self.out_channels, self.dtype, zero_init=True,
+                        name="conv2")(h)
         else:
             h = h + emb_out
-            h = group_norm(dtype=self.dtype)(h)
-        h = nn.silu(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = conv3x3(self.out_channels, self.dtype, zero_init=True, name="conv2")(h)
+            if self.dropout and not deterministic:
+                h = group_norm(dtype=self.dtype, name="GroupNorm_1")(h)
+                h = nn.silu(h)
+                h = nn.Dropout(self.dropout)(h, deterministic=False)
+                h = conv3x3(self.out_channels, self.dtype, zero_init=True,
+                            name="conv2")(h)
+            else:
+                h = norm_silu_conv3x3(h, self.out_channels, self.dtype,
+                                      "conv2", "GroupNorm_1", zero_init=True)
 
         if c_in != self.out_channels:
             x = conv1x1(self.out_channels, self.dtype, name="skip")(x)
@@ -285,13 +354,16 @@ class VAEResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         c_in = x.shape[-1]
-        h = group_norm(eps=1e-6, dtype=self.dtype)(x)
-        h = nn.silu(h)
-        h = conv3x3(self.out_channels, self.dtype, name="conv1")(h)
-        h = group_norm(eps=1e-6, dtype=self.dtype)(h)
-        h = nn.silu(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = conv3x3(self.out_channels, self.dtype, name="conv2")(h)
+        h = norm_silu_conv3x3(x, self.out_channels, self.dtype,
+                              "conv1", "GroupNorm_0", eps=1e-6)
+        if self.dropout and not deterministic:
+            h = group_norm(eps=1e-6, dtype=self.dtype, name="GroupNorm_1")(h)
+            h = nn.silu(h)
+            h = nn.Dropout(self.dropout)(h, deterministic=False)
+            h = conv3x3(self.out_channels, self.dtype, name="conv2")(h)
+        else:
+            h = norm_silu_conv3x3(h, self.out_channels, self.dtype,
+                                  "conv2", "GroupNorm_1", eps=1e-6)
         if c_in != self.out_channels:
             x = conv1x1(self.out_channels, self.dtype, name="nin_shortcut")(x)
         return x + h

@@ -33,6 +33,7 @@ from mgldvsr_tpu.models.layers import (
     Upsample,
     conv3x3,
     group_norm,
+    norm_silu_conv3x3,
 )
 from mgldvsr_tpu.models.spade import SPADE
 from mgldvsr_tpu.models.temporal import SpatialTemporalConv, TemporalAttention
@@ -73,16 +74,20 @@ class DualResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, emb, s_cond: Dict[str, jnp.ndarray], deterministic=True):
         c_in = x.shape[-1]
-        h = group_norm(dtype=self.dtype)(x)
-        h = nn.silu(h)
-        h = conv3x3(self.out_channels, self.dtype, name="conv1")(h)
+        h = norm_silu_conv3x3(x, self.out_channels, self.dtype,
+                              "conv1", "GroupNorm_0")
         emb_out = nn.Dense(self.out_channels, dtype=self.dtype,
                            param_dtype=jnp.float32, name="emb_proj")(nn.silu(emb))
         h = h + emb_out[:, None, None, :]
-        h = group_norm(dtype=self.dtype)(h)
-        h = nn.silu(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = conv3x3(self.out_channels, self.dtype, zero_init=True, name="conv2")(h)
+        if self.dropout and not deterministic:
+            h = group_norm(dtype=self.dtype, name="GroupNorm_1")(h)
+            h = nn.silu(h)
+            h = nn.Dropout(self.dropout)(h, deterministic=False)
+            h = conv3x3(self.out_channels, self.dtype, zero_init=True,
+                        name="conv2")(h)
+        else:
+            h = norm_silu_conv3x3(h, self.out_channels, self.dtype,
+                                  "conv2", "GroupNorm_1", zero_init=True)
         h = SPADE(self.out_channels, dtype=self.dtype, name="spade")(h, s_cond)
         if c_in != self.out_channels:
             from mgldvsr_tpu.models.layers import conv1x1
@@ -173,9 +178,8 @@ class InflatedUNetDualCond(nn.Module):
                     h = Upsample(ch, True, dt, name=f"out_{level}_up")(h)
                     ds //= 2
 
-        h = group_norm(dtype=dt)(h)
-        h = nn.silu(h)
-        h = conv3x3(cfg.out_channels, dt, zero_init=True, name="conv_out")(h)
+        h = norm_silu_conv3x3(h, cfg.out_channels, dt, "conv_out",
+                              "GroupNorm_0", zero_init=True)
         return h.astype(jnp.float32)
 
 

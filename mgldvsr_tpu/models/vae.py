@@ -35,6 +35,7 @@ from mgldvsr_tpu.models.layers import (
     conv1x1,
     conv3x3,
     group_norm,
+    norm_silu_conv3x3,
 )
 from mgldvsr_tpu.models.temporal import SpatialTemporalConv
 
@@ -86,10 +87,9 @@ class Encoder(nn.Module):
         h = VAEResnetBlock(h.shape[-1], cfg.dropout, dt, name="mid_block_1")(h)
         h = VAEAttnBlock(dt, name="mid_attn_1")(h)
         h = VAEResnetBlock(h.shape[-1], cfg.dropout, dt, name="mid_block_2")(h)
-        h = group_norm(eps=1e-6, dtype=dt)(h)
-        h = nn.silu(h)
         out_c = 2 * cfg.z_channels if cfg.double_z else cfg.z_channels
-        h = conv3x3(out_c, dt, name="conv_out")(h)
+        h = norm_silu_conv3x3(h, out_c, dt, "conv_out", "GroupNorm_0",
+                              eps=1e-6)
         if return_fea:
             return h, fea_list
         return h
@@ -105,12 +105,10 @@ class SimpleResBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         c_in = x.shape[-1]
-        h = group_norm(eps=1e-6, dtype=self.dtype)(x)
-        h = nn.silu(h)
-        h = conv3x3(self.out_channels, self.dtype, name="conv1")(h)
-        h = group_norm(eps=1e-6, dtype=self.dtype)(h)
-        h = nn.silu(h)
-        h = conv3x3(self.out_channels, self.dtype, name="conv2")(h)
+        h = norm_silu_conv3x3(x, self.out_channels, self.dtype,
+                              "conv1", "GroupNorm_0", eps=1e-6)
+        h = norm_silu_conv3x3(h, self.out_channels, self.dtype,
+                              "conv2", "GroupNorm_1", eps=1e-6)
         if c_in != self.out_channels:
             x = conv1x1(self.out_channels, self.dtype, name="conv_out")(x)
         return x + h
@@ -205,9 +203,8 @@ class Decoder(nn.Module):
                 h = Upsample(block_out, True, dt, name=f"up_{i_level}_upsample")(h)
                 curr_res *= 2
 
-        h = group_norm(eps=1e-6, dtype=dt)(h)
-        h = nn.silu(h)
-        return conv3x3(cfg.out_ch, dt, name="conv_out")(h)
+        return norm_silu_conv3x3(h, cfg.out_ch, dt, "conv_out",
+                                 "GroupNorm_0", eps=1e-6)
 
 
 # ---------------------------------------------------------------------------

@@ -40,7 +40,7 @@ def main():
     ap.add_argument("--frames", type=int, default=5)
     ap.add_argument("--stage", default="all",
                     choices=["all", "denoise", "prep", "guidance", "canvas",
-                             "raft", "vae"])
+                             "raft", "vae", "int8"])
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
 
@@ -172,6 +172,48 @@ def main():
                                        jax.random.PRNGKey(7), iters=3,
                                        warmup=1)
         print(f"canvas fps @768px: {t / res['canvas_restore']:.3f}")
+
+    if args.stage == "int8":
+        # int8 MXU experiment (round-2 lever): bf16 vs int8 3x3 convs at the
+        # UNet's dominant shapes. v5e int8 peak is 2x bf16; if XLA lowers
+        # int8 conv to the MXU, quantized UNet convs could cut the 12 ms
+        # conv pool substantially (quality-gated until real weights exist).
+        import functools
+
+        shapes = [
+            (t, 64, 64, 320, 320),
+            (t, 32, 32, 640, 640),
+            (t, 16, 16, 1280, 1280),
+            (t, 8, 8, 1280, 1280),
+        ]
+        dn = ("NHWC", "HWIO", "NHWC")
+        for (n, h, w, ci, co) in shapes:
+            x = jax.random.normal(jax.random.PRNGKey(0), (n, h, w, ci),
+                                  jnp.bfloat16)
+            k_ = jax.random.normal(jax.random.PRNGKey(1), (3, 3, ci, co),
+                                   jnp.bfloat16)
+            xq = (x * 10).astype(jnp.int8)
+            kq = (k_ * 10).astype(jnp.int8)
+
+            conv = jax.jit(functools.partial(
+                jax.lax.conv_general_dilated, window_strides=(1, 1),
+                padding="SAME", dimension_numbers=dn))
+            conv8 = jax.jit(functools.partial(
+                jax.lax.conv_general_dilated, window_strides=(1, 1),
+                padding="SAME", dimension_numbers=dn,
+                preferred_element_type=jnp.int32))
+            t_bf = timeit(conv, x, k_, iters=args.iters)
+            try:
+                t_i8 = timeit(conv8, xq, kq, iters=args.iters)
+            except Exception as e:  # unsupported lowering
+                t_i8 = float("nan")
+                print(f"int8 conv failed at {ci}ch: {type(e).__name__} {e}")
+            gflop = 2 * n * h * w * ci * co * 9 / 1e9
+            print(f"conv3x3 {n}x{h}x{w}x{ci}->{co}: "
+                  f"bf16 {t_bf * 1e3:7.3f} ms ({gflop / t_bf / 1e3:6.1f} TF/s)"
+                  f"  int8 {t_i8 * 1e3:7.3f} ms "
+                  f"({gflop / t_i8 / 1e3:6.1f} Top/s)  "
+                  f"speedup {t_bf / t_i8:5.2f}x")
 
     for k, v in res.items():
         print(f"{k:18s} {v * 1e3:9.2f} ms")
