@@ -470,3 +470,45 @@ class VideoRecurrentTestDataset(VideoTestDataset):
 def _mod_crop(img: np.ndarray, scale: int) -> np.ndarray:
     h, w = img.shape[:2]
     return img[: h - h % scale, : w - w % scale]
+
+
+class PairedImageDataset:
+    """Paired LQ/GT image protocol (basicsr/data/paired_image_dataset.py):
+    folder-paired images, optional train-time crop+augment."""
+
+    def __init__(self, gt_root: str, lq_root: str, gt_size: Optional[int] = None,
+                 scale: int = 4, phase: str = "test", use_hflip: bool = True,
+                 use_rot: bool = True, seed: int = 0):
+        self.gt_paths = sorted(glob.glob(os.path.join(gt_root, "*")))
+        self.lq_paths = sorted(glob.glob(os.path.join(lq_root, "*")))
+        assert len(self.gt_paths) == len(self.lq_paths)
+        self.gt_size, self.scale, self.phase = gt_size, scale, phase
+        self.use_hflip, self.use_rot = use_hflip, use_rot
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return len(self.gt_paths)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        gt = _imread01(self.gt_paths[index])
+        lq = _imread01(self.lq_paths[index])
+        if self.phase == "train" and self.gt_size:
+            [gt], [lq] = paired_crop([gt], [lq], self.gt_size, self.scale,
+                                     self.rng)
+            gt, lq = augment([gt, lq], self.use_hflip, self.use_rot, self.rng)
+        return {"lq": lq, "gt": gt, "lq_path": self.lq_paths[index],
+                "gt_path": self.gt_paths[index]}
+
+
+class SingleImageDataset:
+    """LQ-only image protocol (basicsr/data/single_image_dataset.py)."""
+
+    def __init__(self, lq_root: str):
+        self.lq_paths = sorted(glob.glob(os.path.join(lq_root, "*")))
+
+    def __len__(self):
+        return len(self.lq_paths)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        return {"lq": _imread01(self.lq_paths[index]),
+                "lq_path": self.lq_paths[index]}

@@ -40,17 +40,17 @@ def _kernel(mean_ref, rstd_ref, gnw_ref, gnb_ref, w_ref, b_ref, x_ref,
             c: int, co_t: int):
     """Grid: (T, Co/co_t).
 
-    mean/rstd: [T, G] (SMEM); gnw/gnb: [1, C]; w: [9, C, co_t]; b: [1, co_t];
+    mean/rstd: [1, G] VMEM blocks (Mosaic SMEM loads are scalar-only);
+    gnw/gnb: [1, C]; w: [9, C, co_t]; b: [1, co_t];
     x: [1, H, W, C]; out: [1, H, W, co_t];
     scratch: xn [H+2, W+2, C] (x dtype), acc [H*W, co_t] fp32."""
-    ti = pl.program_id(0)
     cg = c // groups
 
     x = x_ref[0].astype(jnp.float32)  # [H, W, C]
     # per-group affine folded into one multiply-add:
     # y = (x - mean) * rstd * gnw + gnb = x * a + b
-    mean = mean_ref[ti]  # [G]
-    rstd = rstd_ref[ti]  # [G]
+    mean = mean_ref[0]  # [G]
+    rstd = rstd_ref[0]  # [G]
     a_g = jnp.repeat(rstd.reshape(groups, 1), cg, axis=1).reshape(1, c)
     m_g = jnp.repeat(mean.reshape(groups, 1), cg, axis=1).reshape(1, c)
     gnw = gnw_ref[0]
@@ -182,8 +182,8 @@ def _fused_fwd_impl(x, gn_scale, gn_bias, kernel, bias, groups, eps,
         partial(_kernel, groups=groups, h=h, w=w, c=c, co_t=co_t),
         grid=(t, n_co),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # mean [T, G]
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # rstd [T, G]
+            pl.BlockSpec((1, groups), lambda i, j: (i, 0)),  # mean
+            pl.BlockSpec((1, groups), lambda i, j: (i, 0)),  # rstd
             pl.BlockSpec((1, c), lambda i, j: (0, 0)),
             pl.BlockSpec((1, c), lambda i, j: (0, 0)),
             pl.BlockSpec((9, c, co_t), lambda i, j: (0, 0, j)),

@@ -183,3 +183,27 @@ def test_frame_indices_and_duf_match_reference():
         np.testing.assert_allclose(
             ours, ref.numpy().transpose(0, 2, 3, 1), atol=1e-5,
             err_msg=f"scale {scale}")
+
+
+def test_paired_and_single_image_datasets(tmp_path):
+    from mgldvsr_tpu.data.heritage_datasets import (
+        PairedImageDataset,
+        SingleImageDataset,
+    )
+
+    gt, lq = str(tmp_path / "gt"), str(tmp_path / "lq")
+    os.makedirs(gt)
+    os.makedirs(lq)
+    rs = np.random.RandomState(0)
+    for i in range(3):
+        cv2.imwrite(os.path.join(gt, f"{i}.png"),
+                    rs.randint(0, 255, (32, 32, 3), np.uint8))
+        cv2.imwrite(os.path.join(lq, f"{i}.png"),
+                    rs.randint(0, 255, (8, 8, 3), np.uint8))
+    ds = PairedImageDataset(gt, lq, gt_size=16, scale=4, phase="train")
+    item = ds[0]
+    assert item["lq"].shape == (4, 4, 3) and item["gt"].shape == (16, 16, 3)
+    ds_t = PairedImageDataset(gt, lq)
+    assert ds_t[1]["gt"].shape == (32, 32, 3)
+    si = SingleImageDataset(lq)
+    assert len(si) == 3 and si[2]["lq"].shape == (8, 8, 3)
