@@ -35,29 +35,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(mean_ref, rstd_ref, gnw_ref, gnb_ref, w_ref, b_ref, x_ref,
-            out_ref, xn_ref, acc_ref, *, groups: int, h: int, w: int,
+def _kernel(scale_ref, shift_ref, w_ref, b_ref, x_ref,
+            out_ref, xn_ref, acc_ref, *, h: int, w: int,
             c: int, co_t: int):
     """Grid: (T, Co/co_t).
 
-    mean/rstd: [1, G] VMEM blocks (Mosaic SMEM loads are scalar-only);
-    gnw/gnb: [1, C]; w: [9, C, co_t]; b: [1, co_t];
+    scale/shift: [1, 1, C] blocks — the GN affine pre-folded per frame
+    (y = x*scale + shift); w: [9, C, co_t]; b: [1, co_t];
     x: [1, H, W, C]; out: [1, H, W, co_t];
     scratch: xn [H+2, W+2, C] (x dtype), acc [H*W, co_t] fp32."""
-    cg = c // groups
-
     x = x_ref[0].astype(jnp.float32)  # [H, W, C]
-    # per-group affine folded into one multiply-add:
-    # y = (x - mean) * rstd * gnw + gnb = x * a + b
-    mean = mean_ref[0]  # [G]
-    rstd = rstd_ref[0]  # [G]
-    a_g = jnp.repeat(rstd.reshape(groups, 1), cg, axis=1).reshape(1, c)
-    m_g = jnp.repeat(mean.reshape(groups, 1), cg, axis=1).reshape(1, c)
-    gnw = gnw_ref[0]
-    gnb = gnb_ref[0]
-    scale = (a_g * gnw).reshape(1, 1, c)
-    shift = (gnb - m_g * a_g * gnw).reshape(1, 1, c)
-    xn = x * scale + shift
+    scale = scale_ref[0]  # [1, C]
+    shift = shift_ref[0]  # [1, C]
+    xn = x * scale.reshape(1, 1, c) + shift.reshape(1, 1, c)
     xn = xn * jax.nn.sigmoid(xn)  # SiLU
     xn = xn.astype(xn_ref.dtype)
 
@@ -163,11 +153,19 @@ def _fused_fwd_impl(x, gn_scale, gn_bias, kernel, bias, groups, eps,
     t, h, w, c = x.shape
     co = kernel.shape[-1]
 
-    # frame/group stats via one cheap XLA reduction (fp32)
-    xf = x.astype(jnp.float32).reshape(t, h * w, groups, c // groups)
+    # frame/group stats via one cheap XLA reduction (fp32), pre-folded
+    # with the GN affine into per-(frame, channel) scale/shift
+    cg = c // groups
+    xf = x.astype(jnp.float32).reshape(t, h * w, groups, cg)
     mean = jnp.mean(xf, axis=(1, 3))
     var = jnp.mean(jnp.square(xf), axis=(1, 3)) - jnp.square(mean)
     rstd = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+    a_tc = jnp.repeat(rstd[:, :, None], cg, axis=2).reshape(t, 1, c)
+    m_tc = jnp.repeat(mean[:, :, None], cg, axis=2).reshape(t, 1, c)
+    gw32 = gn_scale.reshape(1, 1, c).astype(jnp.float32)
+    gb32 = gn_bias.reshape(1, 1, c).astype(jnp.float32)
+    scale_tc = a_tc * gw32
+    shift_tc = gb32 - m_tc * scale_tc
 
     co_t = min(co_tile, co)
     co_pad = (-co) % co_t
@@ -179,13 +177,11 @@ def _fused_fwd_impl(x, gn_scale, gn_bias, kernel, bias, groups, eps,
     n_co = (co + co_pad) // co_t
 
     out = pl.pallas_call(
-        partial(_kernel, groups=groups, h=h, w=w, c=c, co_t=co_t),
+        partial(_kernel, h=h, w=w, c=c, co_t=co_t),
         grid=(t, n_co),
         in_specs=[
-            pl.BlockSpec((1, groups), lambda i, j: (i, 0)),  # mean
-            pl.BlockSpec((1, groups), lambda i, j: (i, 0)),  # rstd
-            pl.BlockSpec((1, c), lambda i, j: (0, 0)),
-            pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0)),  # scale
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0)),  # shift
             pl.BlockSpec((9, c, co_t), lambda i, j: (0, 0, j)),
             pl.BlockSpec((1, co_t), lambda i, j: (0, j)),
             pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0)),
@@ -197,6 +193,5 @@ def _fused_fwd_impl(x, gn_scale, gn_bias, kernel, bias, groups, eps,
             pltpu.VMEM((h * w, co_t), jnp.float32),
         ],
         interpret=interpret,
-    )(mean, rstd, gn_scale.reshape(1, c).astype(jnp.float32),
-      gn_bias.reshape(1, c).astype(jnp.float32), wk, bk, x)
+    )(scale_tc, shift_tc, wk, bk, x)
     return out[..., :co]
