@@ -543,6 +543,35 @@ def convert_lpips(
 
 
 # ---------------------------------------------------------------------------
+# PatchGAN discriminator (taming NLayerDiscriminator, used by the stage-2
+# GAN loss — contperceptual.py:132)
+# ---------------------------------------------------------------------------
+
+
+def convert_discriminator(sd: Mapping[str, Any], prefix: str = "",
+                          n_layers: int = 3,
+                          used: Optional[set] = None) -> Dict[str, Any]:
+    """taming NLayerDiscriminator (sequential ``main.{i}``) ->
+    models.discriminator.NLayerDiscriminator ({'params', 'batch_stats'})."""
+    g = SDGet(sd, prefix, used)
+    params: Dict[str, Any] = {"conv0": g.conv("main.0")}
+    stats: Dict[str, Any] = {}
+    for n in range(1, n_layers + 1):
+        idx = 2 + 3 * (n - 1)
+        params[f"conv{n}"] = g.conv(f"main.{idx}")
+        params[f"bn{n}"] = {
+            "scale": _np(g.raw(f"main.{idx + 1}.weight")),
+            "bias": _np(g.raw(f"main.{idx + 1}.bias")),
+        }
+        stats[f"bn{n}"] = {
+            "mean": _np(g.raw(f"main.{idx + 1}.running_mean")),
+            "var": _np(g.raw(f"main.{idx + 1}.running_var")),
+        }
+    params["conv_out"] = g.conv(f"main.{2 + 3 * n_layers}")
+    return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
 # FID InceptionV3 (pt_inception-2015-12-05, basicsr/archs/inception.py)
 # ---------------------------------------------------------------------------
 

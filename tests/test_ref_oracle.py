@@ -649,3 +649,171 @@ def test_local_correlation_vs_mmcv_semantics():
     corr = corr.view(b, -1, h, w) / c  # maskflownet_arch.py:230-234
     np.testing.assert_allclose(
         np.asarray(ours), corr.numpy().transpose(0, 2, 3, 1), atol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# Stage-2 GAN loss stack (contperceptual.py) + discriminator + occlusion
+# --------------------------------------------------------------------------
+
+
+def test_nlayer_discriminator_oracle():
+    """taming-style PatchGAN (contperceptual.py:132 via the shimmed public
+    structure) vs models.discriminator.NLayerDiscriminator."""
+    from taming.modules.discriminator.model import (
+        NLayerDiscriminator as RefDisc,
+    )
+
+    from mgldvsr_tpu.models.discriminator import NLayerDiscriminator
+
+    ref = RefDisc(input_nc=3, ndf=32, n_layers=3)
+    sd = randomize(ref, 30)
+
+    rs = np.random.RandomState(31)
+    x = rs.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(nchw(x))
+
+    used = set()
+    variables = cc.convert_discriminator(sd, used=used)
+    ignorable = {k for k in sd if "num_batches_tracked" in k}
+    assert used == set(sd) - ignorable, sorted(set(sd) - ignorable - used)[:5]
+    ours = NLayerDiscriminator(ndf=32).apply(
+        cc.to_jax(variables), jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(ours), nhwc(out_ref), atol=2e-4)
+
+
+def test_occlusion_check_oracle():
+    """scripts/util_flow.py:114-136 vs ops/occlusion."""
+    from scripts.util_flow import (
+        forward_backward_consistency_check as ref_fbcc,
+    )
+
+    from mgldvsr_tpu.ops.occlusion import forward_backward_consistency_check
+
+    rs = np.random.RandomState(32)
+    ff = (rs.standard_normal((2, 10, 12, 2)) * 2).astype(np.float32)
+    fb = (rs.standard_normal((2, 10, 12, 2)) * 2).astype(np.float32)
+    fo, bo = forward_backward_consistency_check(jnp.asarray(ff),
+                                                jnp.asarray(fb))
+    with torch.no_grad():
+        rfo, rbo = ref_fbcc(
+            torch.from_numpy(ff.transpose(0, 3, 1, 2).copy()),
+            torch.from_numpy(fb.transpose(0, 3, 1, 2).copy()))
+    np.testing.assert_allclose(np.asarray(fo)[..., 0] if fo.ndim == 4
+                               else np.asarray(fo), rfo.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(bo)[..., 0] if bo.ndim == 4
+                               else np.asarray(bo), rbo.numpy(), atol=1e-5)
+
+
+def test_stage2_loss_composition_oracle():
+    """LPIPSWithDiscriminator.forward (contperceptual.py:163-283) at
+    perceptual_weight=0, both optimizer passes, vs the composition of our
+    train/losses primitives — including the odd mean/shape[0] normalization,
+    sobel-weighted swc with a stub flownet, l1_diff, adaptive d_weight and
+    warmup gating."""
+    from ldm.modules.losses.contperceptual import LPIPSWithDiscriminator
+    from ldm.modules.distributions.distributions import (
+        DiagonalGaussianDistribution,
+    )
+
+    from mgldvsr_tpu.models.discriminator import NLayerDiscriminator
+    from mgldvsr_tpu.models.vae import DiagonalGaussian
+    from mgldvsr_tpu.ops.occlusion import (
+        forward_backward_consistency_check as our_fbcc,
+    )
+    from mgldvsr_tpu.train import losses as L
+
+    t, h, w = 3, 32, 32
+    rs = np.random.RandomState(33)
+    inputs = rs.standard_normal((t, h, w, 3)).astype(np.float32)
+    recon = rs.standard_normal((t, h, w, 3)).astype(np.float32)
+    moments = rs.standard_normal((t, 2, 2, 8)).astype(np.float32)
+    flow_const = (rs.standard_normal((1, 1, h, w, 2)) * 1.5
+                  ).astype(np.float32)
+
+    class StubFlow(torch.nn.Module):
+        def forward(self, a, b):
+            n = a.shape[0]
+            f = torch.from_numpy(flow_const[0].transpose(0, 3, 1, 2).copy())
+            return f.repeat(n, 1, 1, 1)
+
+    mod = LPIPSWithDiscriminator(
+        disc_start=100, kl_weight=1e-6, perceptual_weight=0.0,
+        disc_weight=0.5, num_frames=t, disc_in_channels=3)
+    mod.flownet = StubFlow()
+    sd = randomize(mod.discriminator, 34)
+    mod.discriminator.load_state_dict(sd)
+    mod.eval()
+
+    # torch graph: recon depends on a last-layer weight so the adaptive
+    # d_weight's autograd has a leaf to differentiate
+    W = torch.zeros(3, 3, 1, 1)
+    W[0, 0] = W[1, 1] = W[2, 2] = 1.0
+    W.requires_grad_(True)
+    rec_t = torch.nn.functional.conv2d(nchw(recon), W)
+    post = DiagonalGaussianDistribution(
+        torch.from_numpy(moments.transpose(0, 3, 1, 2).copy()))
+    g_step = 1000  # past warmup
+    loss_g, log_g = mod(nchw(inputs), rec_t, post, 0, g_step, last_layer=W)
+    loss_d, log_d = mod(nchw(inputs), rec_t, post, 1, g_step, last_layer=W)
+    # warmup gating: before disc_start both disc_factor terms vanish
+    loss_g0, log_g0 = mod(nchw(inputs), rec_t, post, 0, 10, last_layer=W)
+
+    # ---- ours: same composition from the jnp primitives
+    disc_vars = cc.to_jax(cc.convert_discriminator(sd))
+    disc = NLayerDiscriminator()
+    ff = jnp.asarray(np.repeat(flow_const, t - 1, axis=1))  # [1, t-1, ...]
+    fb = ff
+    fo, bo = jax.vmap(lambda a, b: our_fbcc(a, b))(ff, fb)
+    if fo.ndim == 4:
+        fo, bo = fo[..., None], bo[..., None]
+
+    def ours(rec_w, global_step):
+        rec = jnp.einsum("thwc,oc->thwo", jnp.asarray(recon),
+                         jnp.asarray(W.detach().numpy())[:, :, 0, 0])
+        x_in = jnp.asarray(inputs)
+        rec_loss = jnp.abs(x_in - rec)
+        logvar = 0.0
+        nll = rec_loss / jnp.exp(logvar) + logvar
+        weighted_nll = jnp.mean(nll) / nll.shape[0]
+        nll_scalar = jnp.mean(nll) / nll.shape[0]
+        dl = L.l1_diff(x_in, rec, t)
+        weighted_nll += 1.0 * jnp.mean(dl) / dl.shape[0]
+        weighted_nll += 1.0 * L.swc_loss(x_in, rec, t, (ff, fb), (fo, bo))
+        kl = DiagonalGaussian(jnp.asarray(moments)).kl()
+        kl_scalar = jnp.mean(kl) / kl.shape[0]
+        logits_fake = disc.apply(disc_vars, rec, train=False)
+        g_loss = -jnp.mean(logits_fake)
+
+        # adaptive d_weight via jax.grad wrt the last-layer kernel
+        wj = jnp.asarray(W.detach().numpy())[:, :, 0, 0]  # [3(out), 3(in)]
+
+        def nll_of(wk):
+            r = jnp.einsum("thwc,oc->thwo", jnp.asarray(recon), wk)
+            rl = jnp.abs(x_in - r)
+            nl = rl / jnp.exp(logvar) + logvar
+            return jnp.mean(nl) / nl.shape[0]
+
+        def gl_of(wk):
+            r = jnp.einsum("thwc,oc->thwo", jnp.asarray(recon), wk)
+            return -jnp.mean(disc.apply(disc_vars, r, train=False))
+
+        gn = jnp.linalg.norm(jax.grad(nll_of)(wj))
+        gg = jnp.linalg.norm(jax.grad(gl_of)(wj))
+        d_weight = L.adaptive_d_weight(gn, gg, 0.5)
+        disc_factor = L.adopt_weight(1.0, global_step, threshold=100)
+        total = (weighted_nll + 1e-6 * kl_scalar
+                 + d_weight * disc_factor * g_loss)
+
+        logits_real = disc.apply(disc_vars, x_in, train=False)
+        logits_fake_d = disc.apply(disc_vars, rec, train=False)
+        d_loss = disc_factor * L.hinge_d_loss(logits_real, logits_fake_d)
+        return total, d_loss, nll_scalar
+
+    total, d_loss, nll_scalar = ours(None, 1000)
+    np.testing.assert_allclose(float(total), float(loss_g), rtol=2e-4)
+    np.testing.assert_allclose(float(d_loss), float(loss_d), rtol=2e-4)
+    np.testing.assert_allclose(float(nll_scalar),
+                               float(log_g["train/nll_loss"]), rtol=1e-4)
+    total0, _, _ = ours(None, 10)
+    np.testing.assert_allclose(float(total0), float(loss_g0), rtol=2e-4)
