@@ -543,6 +543,37 @@ def convert_lpips(
 
 
 # ---------------------------------------------------------------------------
+# CouplePropModule (tempo_model_arch.py:29-95, used by
+# VideoEncoderUNetModelWT)
+# ---------------------------------------------------------------------------
+
+
+def _conv_res_blocks(g: SDGet, num_block: int) -> Dict[str, Any]:
+    out: Dict[str, Any] = {"conv_in": g.conv("main.0")}
+    for i in range(num_block):
+        out[f"block_{i}"] = {
+            "conv1": g.conv(f"main.2.{i}.conv1"),
+            "conv2": g.conv(f"main.2.{i}.conv2"),
+        }
+    return out
+
+
+def convert_coupleprop(sd: Mapping[str, Any], prefix: str = "",
+                       num_block: int = 5,
+                       used: Optional[set] = None) -> Dict[str, Any]:
+    g = SDGet(sd, prefix, used)
+    return {"params": {
+        "backward_trunk": _conv_res_blocks(g.scope("backward_trunk"),
+                                           num_block),
+        "forward_trunk": _conv_res_blocks(g.scope("forward_trunk"),
+                                          num_block),
+        "backward_fusion": g.conv("backward_fusion"),
+        "forward_fusion": g.conv("forward_fusion"),
+        "conv_last": g.conv("conv_last"),
+    }}
+
+
+# ---------------------------------------------------------------------------
 # PatchGAN discriminator (taming NLayerDiscriminator, used by the stage-2
 # GAN loss — contperceptual.py:132)
 # ---------------------------------------------------------------------------

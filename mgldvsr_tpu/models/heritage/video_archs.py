@@ -372,21 +372,32 @@ class BasicVSRPlusPlus(nn.Module):
 
 class CouplePropModule(nn.Module):
     """Bidirectional flow-guided latent propagation
-    (tempo_model_arch.py:29-199): warp the propagated hidden state with the
-    given flows, fuse with the current latent through residual blocks, and
-    return per-frame fused features."""
+    (tempo_model_arch.py:29-95): warp the propagated hidden state with the
+    given flows, fuse with the current latent through residual trunks, and
+    emit per-frame residual corrections (conv_last(prop) + latent).
 
-    num_feat: int = 4
-    num_block: int = 3
+    The reference also declares ``backward_fusion``/``forward_fusion`` convs
+    its forward never uses — declared here too so checkpoints round-trip."""
+
+    num_ch: int = 4
+    num_feat: int = 64
+    num_block: int = 5
 
     @nn.compact
     def __call__(self, latents, flows_forward, flows_backward):
+        from mgldvsr_tpu.models.layers import _ConvParams
+
         b, t, h, w, c = latents.shape
         bwd_trunk = ConvResidualBlocks(self.num_feat, self.num_block,
                                        name="backward_trunk")
         fwd_trunk = ConvResidualBlocks(self.num_feat, self.num_block,
                                        name="forward_trunk")
-        fusion = _conv(c, 1, name="fusion")
+        conv_last = _conv(self.num_ch, name="conv_last")
+        # dead-but-checkpointed convs (tempo_model_arch.py:49,52)
+        _ConvParams(2 * self.num_feat, self.num_feat,
+                    name="backward_fusion")()
+        _ConvParams(2 * self.num_feat, self.num_feat,
+                    name="forward_fusion")()
 
         bwd = [None] * t
         prop = jnp.zeros((b, h, w, self.num_feat), latents.dtype)
@@ -400,7 +411,7 @@ class CouplePropModule(nn.Module):
         for i in range(t):
             if i > 0:
                 prop = flow_warp(prop, flows_forward[:, i - 1])
-            prop = fwd_trunk(jnp.concatenate([latents[:, i], prop], -1))
-            outs.append(
-                latents[:, i] + fusion(jnp.concatenate([bwd[i], prop], -1)))
+            prop = fwd_trunk(
+                jnp.concatenate([latents[:, i], bwd[i], prop], -1))
+            outs.append(latents[:, i] + conv_last(prop))
         return jnp.stack(outs, axis=1)

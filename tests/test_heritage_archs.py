@@ -113,7 +113,7 @@ def test_couple_prop_module():
     b, t, h, w, c = 1, 4, 8, 8, 4
     lat = _rand(b, t, h, w, c, seed=7)
     ff, fb = _fake_flows(b, t, h, w)
-    m = CouplePropModule(num_feat=c)
+    m = CouplePropModule(num_ch=c, num_feat=8, num_block=2)
     p = m.init(jax.random.PRNGKey(0), lat, ff, fb)
     y = m.apply(p, lat, ff, fb)
     assert y.shape == lat.shape

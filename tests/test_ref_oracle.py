@@ -928,3 +928,37 @@ def test_full_scale_checkpoint_schema_roundtrip():
     expect = flax_shapes(
         AutoencoderKL(VAEConfig()), jnp.zeros((1, 64, 64, 3)))
     check(converted, expect, sd, used)
+
+
+def test_couple_prop_module_oracle():
+    """CouplePropModule (tempo_model_arch.py:29-95) vs ours via
+    convert_coupleprop — incl. its backward/forward trunks, residual
+    conv_last output, and the dead-but-checkpointed fusion convs."""
+    from basicsr.archs.tempo_model_arch import CouplePropModule as RefCPM
+
+    from mgldvsr_tpu.models.heritage.video_archs import CouplePropModule
+
+    b, t, h, w, c, nf, nb = 1, 4, 8, 8, 4, 8, 2
+    ref = RefCPM(num_ch=c, num_feat=nf, num_block=nb)
+    sd = randomize(ref, 40)
+
+    rs = np.random.RandomState(41)
+    lat = rs.standard_normal((b, t, h, w, c)).astype(np.float32)
+    ff = (rs.standard_normal((b, t - 1, h, w, 2)) * 1.2).astype(np.float32)
+    fb = (rs.standard_normal((b, t - 1, h, w, 2)) * 1.2).astype(np.float32)
+
+    with torch.no_grad():
+        out_ref = ref(
+            torch.from_numpy(lat.transpose(0, 1, 4, 2, 3).copy()),
+            (torch.from_numpy(ff.transpose(0, 1, 4, 2, 3).copy()),
+             torch.from_numpy(fb.transpose(0, 1, 4, 2, 3).copy())))
+
+    used = set()
+    params = cc.convert_coupleprop(sd, num_block=nb, used=used)
+    assert used == set(sd), sorted(set(sd) - used)[:5]
+    ours = CouplePropModule(num_ch=c, num_feat=nf, num_block=nb).apply(
+        cc.to_jax(params), jnp.asarray(lat), jnp.asarray(ff),
+        jnp.asarray(fb))
+    np.testing.assert_allclose(
+        np.asarray(ours), out_ref.numpy().transpose(0, 1, 3, 4, 2),
+        atol=2e-5)
