@@ -543,6 +543,67 @@ def convert_lpips(
 
 
 # ---------------------------------------------------------------------------
+# Heritage SR backbones (rrdbnet_arch.py, srresnet_arch.py, srvgg_arch.py)
+# ---------------------------------------------------------------------------
+
+
+def convert_rrdbnet(sd: Mapping[str, Any], prefix: str = "",
+                    num_block: int = 23,
+                    used: Optional[set] = None) -> Dict[str, Any]:
+    g = SDGet(sd, prefix, used)
+    out: Dict[str, Any] = {
+        "conv_first": g.conv("conv_first"),
+        "conv_body": g.conv("conv_body"),
+        "conv_up1": g.conv("conv_up1"),
+        "conv_up2": g.conv("conv_up2"),
+        "conv_hr": g.conv("conv_hr"),
+        "conv_last": g.conv("conv_last"),
+    }
+    for i in range(num_block):
+        out[f"body_{i}"] = {
+            f"rdb{j}": _rdb(g.scope(f"body.{i}.rdb{j}"))
+            for j in (1, 2, 3)
+        }
+    return {"params": out}
+
+
+def convert_msrresnet(sd: Mapping[str, Any], prefix: str = "",
+                      num_block: int = 16, upscale: int = 4,
+                      used: Optional[set] = None) -> Dict[str, Any]:
+    g = SDGet(sd, prefix, used)
+    out: Dict[str, Any] = {
+        "conv_first": g.conv("conv_first"),
+        "upconv1": g.conv("upconv1"),
+        "conv_hr": g.conv("conv_hr"),
+        "conv_last": g.conv("conv_last"),
+    }
+    if upscale == 4:
+        out["upconv2"] = g.conv("upconv2")
+    for i in range(num_block):
+        out[f"body_{i}"] = {
+            "conv1": g.conv(f"body.{i}.conv1"),
+            "conv2": g.conv(f"body.{i}.conv2"),
+        }
+    return {"params": out}
+
+
+def convert_srvgg(sd: Mapping[str, Any], prefix: str = "",
+                  num_conv: int = 16,
+                  used: Optional[set] = None) -> Dict[str, Any]:
+    """SRVGGNetCompact sequential body: conv at even indices, PReLU (with a
+    per-channel weight) at odd indices, final conv at 2*(num_conv+1)."""
+    g = SDGet(sd, prefix, used)
+    out: Dict[str, Any] = {"conv_first": g.conv("body.0"),
+                           "act0_alpha": _np(g.raw("body.1.weight"))}
+    for i in range(num_conv):
+        idx = 2 * (i + 1)
+        out[f"body_{i}"] = g.conv(f"body.{idx}")
+        out[f"act{i + 1}_alpha"] = _np(g.raw(f"body.{idx + 1}.weight"))
+    out["conv_last"] = g.conv(f"body.{2 * (num_conv + 1)}")
+    return {"params": out}
+
+
+# ---------------------------------------------------------------------------
 # CouplePropModule (tempo_model_arch.py:29-95, used by
 # VideoEncoderUNetModelWT)
 # ---------------------------------------------------------------------------

@@ -962,3 +962,101 @@ def test_couple_prop_module_oracle():
     np.testing.assert_allclose(
         np.asarray(ours), out_ref.numpy().transpose(0, 1, 3, 4, 2),
         atol=2e-5)
+
+
+def test_multidim_temporal_conv_oracle():
+    """MultiDimTemporalConv (util.py:314-340) — dual dilated temporal convs
+    with a sigmoid-gated blend."""
+    from ldm.modules.diffusionmodules.util import (
+        MultiDimTemporalConv as RefMDTC,
+    )
+
+    from mgldvsr_tpu.models.temporal import MultiDimTemporalConv
+
+    c, t, hw = 8, 4, 6
+    ref = RefMDTC(c, num_frames=t)
+    sd = randomize(ref, 50)
+    rs = np.random.RandomState(51)
+    x = rs.standard_normal((t, hw, hw, c)).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(nchw(x))
+
+    params = {"params": {
+        "temporal_conv1": {
+            "kernel": cc.conv_kernel(sd["temporal_conv1.weight"]),
+            "bias": sd["temporal_conv1.bias"].numpy(),
+        },
+        "temporal_conv2": {
+            "kernel": cc.conv_kernel(sd["temporal_conv2.weight"]),
+            "bias": sd["temporal_conv2.bias"].numpy(),
+        },
+        "alpha": sd["temporal_alpha"].numpy().reshape(1),
+    }}
+    ours = MultiDimTemporalConv(num_frames=t).apply(
+        cc.to_jax(params), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), nhwc(out_ref), atol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# Heritage SR backbones vs the real reference archs
+# --------------------------------------------------------------------------
+
+
+def test_rrdbnet_oracle():
+    from basicsr.archs.rrdbnet_arch import RRDBNet as RefRRDB
+
+    from mgldvsr_tpu.models.heritage.sr_archs import RRDBNet
+
+    ref = RefRRDB(num_in_ch=3, num_out_ch=3, scale=4, num_feat=16,
+                  num_block=2, num_grow_ch=8)
+    sd = randomize(ref, 60)
+    rs = np.random.RandomState(61)
+    x = rs.rand(1, 16, 16, 3).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(nchw(x))
+    used = set()
+    params = cc.convert_rrdbnet(sd, num_block=2, used=used)
+    assert used == set(sd), sorted(set(sd) - used)[:5]
+    ours = RRDBNet(scale=4, num_feat=16, num_block=2, num_grow_ch=8).apply(
+        cc.to_jax(params), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), nhwc(out_ref), atol=2e-5)
+
+
+def test_msrresnet_oracle():
+    from basicsr.archs.srresnet_arch import MSRResNet as RefMSR
+
+    from mgldvsr_tpu.models.heritage.sr_archs import MSRResNet
+
+    ref = RefMSR(num_in_ch=3, num_out_ch=3, num_feat=16, num_block=3,
+                 upscale=4)
+    sd = randomize(ref, 62)
+    rs = np.random.RandomState(63)
+    x = rs.rand(1, 12, 12, 3).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(nchw(x))
+    used = set()
+    params = cc.convert_msrresnet(sd, num_block=3, used=used)
+    assert used == set(sd), sorted(set(sd) - used)[:5]
+    ours = MSRResNet(num_feat=16, num_block=3, upscale=4).apply(
+        cc.to_jax(params), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), nhwc(out_ref), atol=2e-5)
+
+
+def test_srvgg_oracle():
+    from basicsr.archs.srvgg_arch import SRVGGNetCompact as RefVGG
+
+    from mgldvsr_tpu.models.heritage.sr_archs import SRVGGNetCompact
+
+    ref = RefVGG(num_in_ch=3, num_out_ch=3, num_feat=16, num_conv=4,
+                 upscale=4, act_type="prelu")
+    sd = randomize(ref, 64)
+    rs = np.random.RandomState(65)
+    x = rs.rand(1, 12, 12, 3).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(nchw(x))
+    used = set()
+    params = cc.convert_srvgg(sd, num_conv=4, used=used)
+    assert used == set(sd), sorted(set(sd) - used)[:5]
+    ours = SRVGGNetCompact(num_feat=16, num_conv=4, upscale=4).apply(
+        cc.to_jax(params), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), nhwc(out_ref), atol=2e-5)
