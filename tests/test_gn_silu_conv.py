@@ -98,6 +98,9 @@ def test_vmem_guard_falls_back():
 
     assert fits_vmem(64, 64, 320, 2)          # UNet latent scale
     assert not fits_vmem(512, 512, 512, 2)    # VAE pixel scale
+    # 1920-ch skip-concat block: wants 19.1M on hardware (double-buffered
+    # blocks) — must fall back
+    assert not fits_vmem(32, 32, 1920, 2)
 
 
 def test_module_param_tree_and_output_equivalence(monkeypatch):
