@@ -106,7 +106,11 @@ def main():
         from mgldvsr_tpu.train.trainer import Stage1Config, Stage1Trainer
 
         results = {}
-        for remat in (False, True):
+        # remat first: without activation checkpointing the 512px 5-frame
+        # step may not fit a single v5e chip at all (16 GB HBM) — an OOM on
+        # the noremat variant is itself a meaningful datapoint, not a crash
+        for remat in (True, False):
+            key = "remat" if remat else "noremat"
             tcfg = _dc.replace(
                 cfg,
                 unet=_dc.replace(cfg.unet, use_checkpoint=remat),
@@ -119,24 +123,31 @@ def main():
             step_fn = jax.jit(trainer.train_step)
             lq = jax.random.uniform(jax.random.PRNGKey(1), (t, size, size, 3))
             gt = jax.random.uniform(jax.random.PRNGKey(2), (t, size, size, 3))
-            state, m = jax.block_until_ready(
-                step_fn(state, lq, gt, jax.random.PRNGKey(3)))
-            times = []
-            for i in range(args.iters):
-                t0 = time.perf_counter()
+            try:
                 state, m = jax.block_until_ready(
-                    step_fn(state, lq, gt, jax.random.PRNGKey(4 + i)))
-                times.append(time.perf_counter() - t0)
-            stats = jax.local_devices()[0].memory_stats() or {}
-            results["remat" if remat else "noremat"] = {
-                "steps_per_sec": round(1.0 / min(times), 4),
-                "peak_hbm_gb": round(
-                    stats.get("peak_bytes_in_use", 0) / 2**30, 3),
-            }
+                    step_fn(state, lq, gt, jax.random.PRNGKey(3)))
+                times = []
+                for i in range(args.iters):
+                    t0 = time.perf_counter()
+                    state, m = jax.block_until_ready(
+                        step_fn(state, lq, gt, jax.random.PRNGKey(4 + i)))
+                    times.append(time.perf_counter() - t0)
+                stats = jax.local_devices()[0].memory_stats() or {}
+                results[key] = {
+                    "steps_per_sec": round(1.0 / min(times), 4),
+                    "peak_hbm_gb": round(
+                        stats.get("peak_bytes_in_use", 0) / 2**30, 3),
+                }
+            except Exception as e:  # RESOURCE_EXHAUSTED on noremat
+                results[key] = {"oom": True,
+                                "error": type(e).__name__,
+                                "detail": str(e).split("\n")[0][:200]}
             del state, step_fn, trainer, tparams
+        headline = results.get("remat", {}).get("steps_per_sec", 0.0)
         print(json.dumps({
-            "metric": f"stage1 train steps/sec @{size}px {t}-frame clip",
-            "value": results["noremat"]["steps_per_sec"],
+            "metric": f"stage1 train steps/sec @{size}px {t}-frame clip"
+                      " (remat)",
+            "value": headline,
             "unit": "steps/sec",
             "vs_baseline": 0.0,
             "detail": results,

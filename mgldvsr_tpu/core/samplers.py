@@ -71,6 +71,47 @@ def ddim_sample(
     return x
 
 
+def ddim_invert(
+    sched: DiffusionSchedule,
+    denoise_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    x_0: jnp.ndarray,
+    num_steps: int = 50,
+) -> jnp.ndarray:
+    """Deterministic DDIM inversion: run the eta=0 update in reverse to
+    recover the noise latent x_T whose ``ddim_sample`` trajectory lands on
+    ``x_0``.
+
+    Capability parity with the reference's inversion experiments
+    (/root/reference/ldm/models/diffusion/ddpm_inv.py — an older DDPM copy
+    kept for latent-inversion studies); expressed here as the standard
+    DDIM ODE reversal instead of a duplicated model class.
+    """
+    n = sched.num_timesteps
+    steps = make_ddim_timesteps(n, num_steps)
+    ac = sched.alphas_cumprod
+    ac_prev = jnp.concatenate(
+        [jnp.ones((1,), ac.dtype), ac[jnp.asarray(steps[:-1])]]
+    )
+    # forward (increasing-t) walk: from a_prev[i] to a_t = ac[steps[i]]
+    steps_arr = jnp.asarray(steps.copy(), jnp.int32)
+    idx_arr = jnp.arange(len(steps), dtype=jnp.int32)
+
+    def body(x, si):
+        t, i = si
+        bt = x.shape[0]
+        # eps evaluated at the *source* (less-noisy) point, mirroring the
+        # deterministic update x_{t} = sqrt(a_t) x0_pred + sqrt(1-a_t) eps
+        eps = denoise_fn(x, jnp.full((bt,), t, jnp.int32))
+        a_t = ac[t]
+        a_prev = ac_prev[i]
+        pred_x0 = (x - jnp.sqrt(1 - a_prev) * eps) / jnp.sqrt(a_prev)
+        x = jnp.sqrt(a_t) * pred_x0 + jnp.sqrt(1 - a_t) * eps
+        return x, None
+
+    x, _ = jax.lax.scan(body, x_0, (steps_arr, idx_arr))
+    return x
+
+
 def plms_sample(
     sched: DiffusionSchedule,
     denoise_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],

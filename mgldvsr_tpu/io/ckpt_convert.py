@@ -222,7 +222,13 @@ def convert_unet(
     attention_resolutions: Sequence[int] = (4, 2, 1),
     transformer_depth: int = 1,
     used: Optional[set] = None,
+    dual: bool = True,
+    temporal: bool = True,
 ) -> Dict[str, Any]:
+    """``dual=True, temporal=True``: InflatedUNetModelDualcondV2
+    (openaimodel.py:1903-2313). ``dual=False, temporal=False``: the stock SD
+    ``UNetModel`` (openaimodel.py:650-980) — e.g. SD2.1's text2img denoiser,
+    whose middle block is res/attn/res with no temporal or SPADE modules."""
     g = SDGet(sd, prefix, used)
     out: Dict[str, Any] = {
         "time_embed": _time_embed(g.scope("time_embed")),
@@ -236,7 +242,7 @@ def convert_unet(
     for level in range(len(channel_mult)):
         for nr in range(num_res_blocks):
             blk = g.scope(f"input_blocks.{idx}")
-            out[f"in_{level}_{nr}_res"] = _resblock(blk.scope("0"), dual=True)
+            out[f"in_{level}_{nr}_res"] = _resblock(blk.scope("0"), dual=dual)
             if ds in attention_resolutions:
                 out[f"in_{level}_{nr}_attn"] = _transformer(
                     blk.scope("1"), transformer_depth
@@ -250,18 +256,23 @@ def convert_unet(
             ds *= 2
 
     mid = g.scope("middle_block")
-    out["mid_res1"] = _resblock(mid.scope("0"), dual=True)
-    out["mid_stconv1"] = _stconv(mid.scope("1"))
-    out["mid_attn"] = _transformer(mid.scope("2"), transformer_depth)
-    out["mid_tattn"] = _tattn(mid.scope("3"))
-    out["mid_res2"] = _resblock(mid.scope("4"), dual=True)
-    out["mid_stconv2"] = _stconv(mid.scope("5"))
+    if temporal:
+        out["mid_res1"] = _resblock(mid.scope("0"), dual=dual)
+        out["mid_stconv1"] = _stconv(mid.scope("1"))
+        out["mid_attn"] = _transformer(mid.scope("2"), transformer_depth)
+        out["mid_tattn"] = _tattn(mid.scope("3"))
+        out["mid_res2"] = _resblock(mid.scope("4"), dual=dual)
+        out["mid_stconv2"] = _stconv(mid.scope("5"))
+    else:
+        out["mid_res1"] = _resblock(mid.scope("0"), dual=dual)
+        out["mid_attn"] = _transformer(mid.scope("1"), transformer_depth)
+        out["mid_res2"] = _resblock(mid.scope("2"), dual=dual)
 
     idx = 0
     for level in reversed(range(len(channel_mult))):
         for i in range(num_res_blocks + 1):
             blk = g.scope(f"output_blocks.{idx}")
-            out[f"out_{level}_{i}_res"] = _resblock(blk.scope("0"), dual=True)
+            out[f"out_{level}_{i}_res"] = _resblock(blk.scope("0"), dual=dual)
             sub = 1
             if ds in attention_resolutions:
                 out[f"out_{level}_{i}_attn"] = _transformer(
@@ -510,6 +521,47 @@ def convert_openclip_text(
             "attn_out_proj": b.linear("attn.out_proj"),
             "mlp_c_fc": b.linear("mlp.c_fc"),
             "mlp_c_proj": b.linear("mlp.c_proj"),
+        }
+    return {"params": out}
+
+
+def convert_hf_clip_text(
+    sd: Mapping[str, Any],
+    prefix: str = "cond_stage_model.transformer.",
+    layers: int = 12,
+    penultimate: bool = False,
+    used: Optional[set] = None,
+) -> Dict[str, Any]:
+    """HuggingFace ``CLIPTextModel`` layout (the FrozenCLIPEmbedder tower,
+    modules.py:202-230; SD 1.x checkpoints): separate q/k/v projections are
+    fused into our single in-proj Dense; position embedding is an embedding
+    table rather than a parameter matrix."""
+    g = SDGet(sd, f"{prefix}text_model.", used)
+    out: Dict[str, Any] = {
+        "token_embedding": _np(g.raw("embeddings.token_embedding.weight")),
+        "positional_embedding": _np(
+            g.raw("embeddings.position_embedding.weight")),
+        "ln_final": g.norm("final_layer_norm"),
+    }
+    n_blocks = layers - (1 if penultimate else 0)
+    for i in range(n_blocks):
+        b = g.scope(f"encoder.layers.{i}")
+        qw = _np(b.raw("self_attn.q_proj.weight"))
+        kw = _np(b.raw("self_attn.k_proj.weight"))
+        vw = _np(b.raw("self_attn.v_proj.weight"))
+        qb = _np(b.raw("self_attn.q_proj.bias"))
+        kb = _np(b.raw("self_attn.k_proj.bias"))
+        vb = _np(b.raw("self_attn.v_proj.bias"))
+        out[f"resblock_{i}"] = {
+            "ln_1": b.norm("layer_norm1"),
+            "ln_2": b.norm("layer_norm2"),
+            "attn_in_proj": {
+                "kernel": np.concatenate([qw, kw, vw], 0).transpose(1, 0),
+                "bias": np.concatenate([qb, kb, vb], 0),
+            },
+            "attn_out_proj": b.linear("self_attn.out_proj"),
+            "mlp_c_fc": b.linear("mlp.fc1"),
+            "mlp_c_proj": b.linear("mlp.fc2"),
         }
     return {"params": out}
 

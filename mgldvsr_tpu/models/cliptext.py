@@ -39,6 +39,16 @@ class CLIPTextConfig:
     dtype: Any = jnp.float32
 
 
+def frozen_clip_vit_l_config(dtype: Any = jnp.float32) -> CLIPTextConfig:
+    """FrozenCLIPEmbedder parity
+    (/root/reference/ldm/modules/encoders/modules.py:202-230): the HF CLIP
+    ViT-L/14 text tower used by SD 1.x — width 768, 12 layers/heads,
+    quick-gelu activation, final-layer (post final-LN) output. Weights load
+    via ``io.ckpt_convert.convert_hf_clip_text``."""
+    return CLIPTextConfig(width=768, heads=12, layers=12, layer="last",
+                          act="quick_gelu", dtype=dtype)
+
+
 def empty_prompt_tokens(batch: int, context_length: int = 77) -> jnp.ndarray:
     """Token ids for the empty prompt: [SOT, EOT, 0, ...]."""
     row = jnp.zeros((context_length,), dtype=jnp.int32)

@@ -57,22 +57,28 @@ class UNetConfig:
     dropout: float = 0.0
     use_linear_in_transformer: bool = True
     use_temporal: bool = True  # False => image-SR UNetModelDualcondV2
+    use_spade: bool = True  # False + use_temporal=False => stock UNetModel
     use_checkpoint: bool = False  # activation remat per block (training memory)
     dtype: Any = jnp.float32
 
 
 class DualResBlock(nn.Module):
     """UNet ResBlock whose residual branch is SPADE-modulated by struct-cond
-    features before the skip-add (ResBlockDual, openaimodel.py:362-482)."""
+    features before the skip-add (ResBlockDual, openaimodel.py:362-482).
+
+    With ``use_spade=False`` this is the stock SD ResBlock
+    (openaimodel.py:233-360) — ``s_cond`` is ignored (pass ``None``)."""
 
     out_channels: int
     emb_channels: int
     semb_channels: int
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
+    use_spade: bool = True
 
     @nn.compact
-    def __call__(self, x, emb, s_cond: Dict[str, jnp.ndarray], deterministic=True):
+    def __call__(self, x, emb, s_cond: Optional[Dict[str, jnp.ndarray]],
+                 deterministic=True):
         c_in = x.shape[-1]
         h = norm_silu_conv3x3(x, self.out_channels, self.dtype,
                               "conv1", "GroupNorm_0")
@@ -88,7 +94,9 @@ class DualResBlock(nn.Module):
         else:
             h = norm_silu_conv3x3(h, self.out_channels, self.dtype,
                                   "conv2", "GroupNorm_1", zero_init=True)
-        h = SPADE(self.out_channels, dtype=self.dtype, name="spade")(h, s_cond)
+        if self.use_spade:
+            h = SPADE(self.out_channels, dtype=self.dtype,
+                      name="spade")(h, s_cond)
         if c_in != self.out_channels:
             from mgldvsr_tpu.models.layers import conv1x1
             x = conv1x1(self.out_channels, self.dtype, name="skip")(x)
@@ -124,7 +132,7 @@ class InflatedUNetDualCond(nn.Module):
 
         def res(out_ch, name):
             return res_cls(out_ch, emb_dim, cfg.semb_channels, cfg.dropout,
-                           dt, name=name)
+                           dt, cfg.use_spade, name=name)
 
         def transformer(ch, name):
             heads = ch // cfg.num_head_channels
