@@ -566,6 +566,116 @@ def convert_hf_clip_text(
     return {"params": out}
 
 
+def convert_clip_image(
+    sd: Mapping[str, Any],
+    prefix: str = "visual.",
+    layers: int = 24,
+    used: Optional[set] = None,
+) -> Dict[str, Any]:
+    """OpenAI ``clip`` ``VisionTransformer`` layout (the tower
+    ``FrozenClipImageEmbedder`` loads via ``clip.load``,
+    modules.py:292-322): conv1 patch embed, class/positional embeddings,
+    ln_pre/ln_post, fused in_proj attention blocks, output ``proj``."""
+    g = SDGet(sd, prefix, used)
+    out: Dict[str, Any] = {
+        "patch_embed": {"kernel": conv_kernel(g.raw("conv1.weight"))},
+        "class_embedding": _np(g.raw("class_embedding")),
+        "positional_embedding": _np(g.raw("positional_embedding")),
+        "ln_pre": g.norm("ln_pre"),
+        "ln_post": g.norm("ln_post"),
+    }
+    if "proj" in g:
+        out["proj"] = _np(g.raw("proj"))
+    for i in range(layers):
+        b = g.scope(f"transformer.resblocks.{i}")
+        out[f"resblock_{i}"] = {
+            "ln_1": b.norm("ln_1"),
+            "ln_2": b.norm("ln_2"),
+            "attn_in_proj": {
+                "kernel": linear_kernel(b.raw("attn.in_proj_weight")),
+                "bias": _np(b.raw("attn.in_proj_bias")),
+            },
+            "attn_out_proj": b.linear("attn.out_proj"),
+            "mlp_c_fc": b.linear("mlp.c_fc"),
+            "mlp_c_proj": b.linear("mlp.c_proj"),
+        }
+    return {"params": out}
+
+
+def convert_hf_clip_vision(
+    sd: Mapping[str, Any],
+    prefix: str = "",
+    layers: int = 24,
+    used: Optional[set] = None,
+) -> Dict[str, Any]:
+    """HuggingFace ``CLIPVisionModel`` layout: separate q/k/v fused into
+    one in-proj; embeddings under ``vision_model.embeddings``; no output
+    proj (HF keeps it on ``CLIPVisionModelWithProjection``)."""
+    g = SDGet(sd, f"{prefix}vision_model.", used)
+    out: Dict[str, Any] = {
+        "patch_embed": {
+            "kernel": conv_kernel(
+                g.raw("embeddings.patch_embedding.weight"))},
+        "class_embedding": _np(g.raw("embeddings.class_embedding")),
+        "positional_embedding": _np(
+            g.raw("embeddings.position_embedding.weight")),
+        "ln_pre": g.norm("pre_layrnorm"),  # [sic] HF's key is misspelled
+        "ln_post": g.norm("post_layernorm"),
+    }
+    for i in range(layers):
+        b = g.scope(f"encoder.layers.{i}")
+        qw, kw, vw = (_np(b.raw(f"self_attn.{p}_proj.weight"))
+                      for p in "qkv")
+        qb, kb, vb = (_np(b.raw(f"self_attn.{p}_proj.bias"))
+                      for p in "qkv")
+        out[f"resblock_{i}"] = {
+            "ln_1": b.norm("layer_norm1"),
+            "ln_2": b.norm("layer_norm2"),
+            "attn_in_proj": {
+                "kernel": np.concatenate([qw, kw, vw], 0).transpose(1, 0),
+                "bias": np.concatenate([qb, kb, vb], 0),
+            },
+            "attn_out_proj": b.linear("self_attn.out_proj"),
+            "mlp_c_fc": b.linear("mlp.fc1"),
+            "mlp_c_proj": b.linear("mlp.fc2"),
+        }
+    return {"params": out}
+
+
+def convert_deresnet(
+    sd: Mapping[str, Any],
+    prefix: str = "",
+    num_degradation: int = 2,
+    num_feats: Sequence[int] = (64, 128, 256, 512),
+    num_blocks: Sequence[int] = (2, 2, 2, 2),
+    downscales: Sequence[int] = (2, 2, 2, 1),
+    used: Optional[set] = None,
+) -> Dict[str, Any]:
+    """DEResNet degradation estimator (degradat_arch.py:7-90): per-branch
+    ``body.{d}`` is an nn.Sequential mixing ResidualBlockNoBN and plain
+    downscale convs — replay the construction order to index it."""
+    g = SDGet(sd, prefix, used)
+    out: Dict[str, Any] = {}
+    n_stage = len(num_feats)
+    for d in range(num_degradation):
+        out[f"first_{d}"] = g.conv(f"conv_first.{d}")
+        seq = 0
+        for stage in range(n_stage):
+            for b in range(num_blocks[stage]):
+                blk = g.scope(f"body.{d}.{seq}")
+                out[f"body_{d}_{stage}_{b}"] = {
+                    "conv1": blk.conv("conv1"), "conv2": blk.conv("conv2")}
+                seq += 1
+            if downscales[stage] == 2 or (
+                    downscales[stage] == 1 and stage < n_stage - 1
+                    and num_feats[stage] != num_feats[stage + 1]):
+                out[f"down_{d}_{stage}"] = g.conv(f"body.{d}.{seq}")
+                seq += 1
+        out[f"fc1_{d}"] = g.linear(f"fc_degree.{d}.0")
+        out[f"fc2_{d}"] = g.linear(f"fc_degree.{d}.2")
+    return {"params": out}
+
+
 # ---------------------------------------------------------------------------
 # LPIPS (taming vgg.pth: torchvision VGG16 'net.slice*' + 'lin*' heads)
 # ---------------------------------------------------------------------------

@@ -211,3 +211,44 @@ class RIDNet(nn.Module):
         for i in range(self.num_block):
             h = EAM(self.num_feat, name=f"eam_{i}")(h)
         return x + _conv(self.num_out_ch, name="conv_out")(h)
+
+
+class DEResNet(nn.Module):
+    """Degradation estimator (basicsr/archs/degradat_arch.py:7-90): one
+    independent ResNetNoBN branch per estimated degradation (default 2:
+    blur + noise), each ending in global average pool + a 512-hidden MLP
+    with sigmoid/tanh degree head. Returns a list of [B] degree tensors."""
+
+    num_in_ch: int = 3
+    num_degradation: int = 2
+    degree_actv: str = "sigmoid"
+    num_feats: Sequence[int] = (64, 128, 256, 512)
+    num_blocks: Sequence[int] = (2, 2, 2, 2)
+    downscales: Sequence[int] = (2, 2, 2, 1)
+
+    @nn.compact
+    def __call__(self, x):
+        assert len(self.num_feats) == len(self.num_blocks) == len(
+            self.downscales)
+        n_stage = len(self.num_feats)
+        degrees = []
+        for d in range(self.num_degradation):
+            h = _conv(self.num_feats[0], name=f"first_{d}")(x)
+            for stage in range(n_stage):
+                for b in range(self.num_blocks[stage]):
+                    h = ResidualBlockNoBN(
+                        self.num_feats[stage], name=f"body_{d}_{stage}_{b}")(h)
+                if self.downscales[stage] == 2:
+                    nxt = self.num_feats[min(stage + 1, n_stage - 1)]
+                    h = _conv(nxt, s=2, name=f"down_{d}_{stage}")(h)
+                elif (stage < n_stage - 1
+                      and self.num_feats[stage] != self.num_feats[stage + 1]):
+                    h = _conv(self.num_feats[stage + 1],
+                              name=f"down_{d}_{stage}")(h)
+            feat = jnp.mean(h, axis=(1, 2))
+            y = nn.Dense(512, name=f"fc1_{d}")(feat)
+            y = nn.Dense(1, name=f"fc2_{d}")(nn.relu(y))
+            y = (jnp.tanh(y) if self.degree_actv == "tanh"
+                 else jax.nn.sigmoid(y))
+            degrees.append(y[:, 0])
+        return degrees
