@@ -676,6 +676,182 @@ def convert_deresnet(
     return {"params": out}
 
 
+def fold_spectral_norm(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """Fold torch ``spectral_norm`` parametrizations into plain weights:
+    every ``X.weight_orig``/``X.weight_u``/``X.weight_v`` triple becomes
+    ``X.weight = W / sigma`` with eval-mode sigma ``u . (W_mat v)`` —
+    bit-identical to what ``remove_spectral_norm`` would store."""
+    out: Dict[str, Any] = {}
+    for k, v in sd.items():
+        if k.endswith(".weight_u") or k.endswith(".weight_v"):
+            continue
+        if k.endswith(".weight_orig"):
+            base = k[: -len("_orig")]
+            w = _np(v)
+            u = _np(sd[f"{base}_u"])
+            vv = _np(sd[f"{base}_v"])
+            wm = w.reshape(w.shape[0], -1)
+            sigma = float(u @ (wm @ vv))
+            out[base] = w / sigma
+        else:
+            out[k] = v
+    return out
+
+
+def _hfg_spade(g: "SDGet") -> Dict[str, Any]:
+    return {
+        "mlp_shared": g.conv("mlp_shared.0"),
+        "mlp_gamma": g.conv("mlp_gamma"),
+        "mlp_beta": g.conv("mlp_beta"),
+    }
+
+
+def _hfg_spade_block(g: "SDGet", learned_shortcut: bool) -> Dict[str, Any]:
+    out = {
+        "conv_0": g.conv("conv_0"),
+        "conv_1": g.conv("conv_1"),
+        "norm_0": _hfg_spade(g.scope("norm_0")),
+        "norm_1": _hfg_spade(g.scope("norm_1")),
+    }
+    if learned_shortcut:
+        out["conv_s"] = g.conv("conv_s")
+        out["norm_s"] = _hfg_spade(g.scope("norm_s"))
+    return out
+
+
+def convert_vgg_face(
+    sd: Mapping[str, Any],
+    prefix: str = "vgg_extractor.",
+    used: Optional[set] = None,
+) -> Dict[str, Any]:
+    """basicsr ``VGGFeatureExtractor`` named-layer VGG (vgg_arch.py:56-130)
+    -> ``models.heritage.face_archs.VGG19Features`` tree."""
+    g = SDGet(sd, f"{prefix}vgg_net.", used)
+    out: Dict[str, Any] = {}
+    for key in sd:
+        if not key.startswith(f"{prefix}vgg_net.") or not key.endswith(
+                ".weight"):
+            continue
+        name = key[len(f"{prefix}vgg_net."):-len(".weight")]
+        out[name] = g.conv(name)
+    # normalization buffers are constants in our module
+    for buf in ("mean", "std"):
+        if f"{prefix}{buf}" in sd and used is not None:
+            used.add(f"{prefix}{buf}")
+    return {"params": out}
+
+
+def convert_dfdnet(
+    sd: Mapping[str, Any],
+    prefix: str = "",
+    used: Optional[set] = None,
+) -> Dict[str, Any]:
+    """DFDNet (dfdnet_arch.py:57-169) -> the host-orchestrated
+    ``face_archs.DFDNet`` params dict (vgg / decoder / per-part attention
+    blocks). Spectral norm folded."""
+    sd = fold_spectral_norm(sd)
+    g = SDGet(sd, prefix, used)
+    out: Dict[str, Any] = {"vgg": convert_vgg_face(sd, f"{prefix}vgg_extractor.", used)}
+    parts = ("left_eye", "right_eye", "nose", "mouth")
+    for fs in (256, 128, 64, 32):
+        for part in parts:
+            a = g.scope(f"attn_blocks.{part}_{fs}")
+            out[f"{part}_{fs}"] = {"params": {
+                "conv1": a.conv("0"), "conv2": a.conv("2")}}
+    dec: Dict[str, Any] = {}
+    ms = g.scope("multi_scale_dilation")
+    msd: Dict[str, Any] = {"fusion": ms.conv("conv_fusion")}
+    for i in range(4):
+        msd[f"b{i}_conv1"] = ms.conv(f"conv_blocks.{i}.0")
+        msd[f"b{i}_conv2"] = ms.conv(f"conv_blocks.{i}.2")
+    dec["msdilate"] = msd
+    for i in range(4):
+        u = g.scope(f"upsample{i}")
+        dec[f"up{i}"] = {
+            "conv1": u.conv("conv1.1"),
+            "convup": u.conv("convup.1"),
+            "scale1": u.conv("scale_block.0"),
+            "scale2": u.conv("scale_block.2"),
+            "shift1": u.conv("shift_block.0"),
+            "shift2": u.conv("shift_block.2"),
+        }
+    u4 = g.scope("upsample4")
+    dec["out_conv"] = u4.conv("0")
+    dec["out_res1"] = {"conv1": u4.conv("2.body.0"),
+                       "conv2": u4.conv("2.body.2")}
+    dec["out_res2"] = {"conv1": u4.conv("3.body.0"),
+                       "conv2": u4.conv("3.body.2")}
+    dec["out_rgb"] = u4.conv("4")
+    out["decoder"] = {"params": dec}
+    return out
+
+
+def convert_hifacegan(
+    sd: Mapping[str, Any],
+    prefix: str = "",
+    num_feat: int = 64,
+    n_2xdown: int = 5,
+    used: Optional[set] = None,
+) -> Dict[str, Any]:
+    """HiFaceGAN generator (hifacegan_arch.py:145-165). Pass the state
+    dict through ``fold_spectral_norm`` first (or pass a dict saved after
+    ``remove_spectral_norm``)."""
+    sd = fold_spectral_norm(sd)
+    g = SDGet(sd, prefix, used)
+    enc: Dict[str, Any] = {}
+    # LIPEncoder nn.Sequential replay (hifacegan_util.py:193-211):
+    # [conv, IN, relu] + per-stage [LIP, conv, IN(, relu)]
+    enc["stem"] = g.conv("lip_encoder.model.0")
+    seq = 3
+    for i in range(n_2xdown):
+        lip = g.scope(f"lip_encoder.model.{seq}")
+        enc[f"lip_{i}"] = {
+            "logit_conv": lip.conv("logit.0"),
+            "in_scale": _np(lip.raw("logit.1.weight")),
+            "in_bias": _np(lip.raw("logit.1.bias")),
+        }
+        enc[f"conv_{i}"] = g.conv(f"lip_encoder.model.{seq + 1}")
+        seq += 4 if i < n_2xdown - 1 else 3
+    out: Dict[str, Any] = {"encoder": enc}
+    # HiFaceGAN inherits (and never calls) SPADEGenerator's fc encoder —
+    # the dead weights still live in the checkpoint (hifacegan_arch.py:38)
+    if "fc.weight" in g:
+        g.conv("fc")
+    out["head_0"] = _hfg_spade_block(g.scope("head_0"), False)
+    out["g_middle_0"] = _hfg_spade_block(g.scope("g_middle_0"), False)
+    out["g_middle_1"] = _hfg_spade_block(g.scope("g_middle_1"), False)
+    for i in range(4):
+        out[f"ups_{i}"] = _hfg_spade_block(g.scope(f"ups.{i}"), True)
+    out["to_rgb_3"] = g.conv("to_rgbs.3")
+    # unreached-phase rgb heads exist in the checkpoint; consume them
+    for i in range(3):
+        if f"to_rgbs.{i}.weight" in g:
+            g.conv(f"to_rgbs.{i}")
+    return {"params": out}
+
+
+def convert_hifacegan_discriminator(
+    sd: Mapping[str, Any],
+    prefix: str = "",
+    num_d: int = 2,
+    n_layers: int = 4,
+    used: Optional[set] = None,
+) -> Dict[str, Any]:
+    """Multiscale PatchGAN (hifacegan_arch.py:168-262); spectral norm
+    folded, norm-wrapped convs are bias-free."""
+    sd = fold_spectral_norm(sd)
+    g = SDGet(sd, prefix, used)
+    out: Dict[str, Any] = {}
+    for i in range(num_d):
+        d = g.scope(f"discriminator_{i}")
+        dd: Dict[str, Any] = {"conv0": d.conv("model0.0")}
+        for n in range(1, n_layers):
+            dd[f"conv{n}"] = d.conv(f"model{n}.0.0")
+        dd["conv_out"] = d.conv(f"model{n_layers}.0")
+        out[f"d_{i}"] = dd
+    return {"params": out}
+
+
 # ---------------------------------------------------------------------------
 # LPIPS (taming vgg.pth: torchvision VGG16 'net.slice*' + 'lin*' heads)
 # ---------------------------------------------------------------------------

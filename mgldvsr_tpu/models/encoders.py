@@ -181,8 +181,9 @@ def clip_preprocess(images_pm1: jnp.ndarray, size: int = 224,
     (modules.py:310-318: bicubic resize to 224, /2+.5, mean/std)."""
     x = images_pm1
     if resize and x.shape[1:3] != (size, size):
+        # the reference resizes with kornia antialias=False (modules.py:313)
         x = jax.image.resize(x, (x.shape[0], size, size, x.shape[3]),
-                             method="bicubic")
+                             method="bicubic", antialias=False)
     x = (x + 1.0) / 2.0
     mean = jnp.asarray(CLIP_IMAGE_MEAN, x.dtype)
     std = jnp.asarray(CLIP_IMAGE_STD, x.dtype)

@@ -1,0 +1,200 @@
+"""DFDNet + HiFaceGAN oracles against the actual reference modules
+(SURVEY §2.12 face-restoration row), weights mapped through
+io.ckpt_convert with spectral norm folded."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+for _p in (os.path.join(_HERE, "ref_shims"), "/root/reference"):
+    if _p not in sys.path:
+        sys.path.insert(0, _p)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir("/root/reference"), reason="reference tree absent")
+
+import torch  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from mgldvsr_tpu.io import ckpt_convert as cc  # noqa: E402
+from mgldvsr_tpu.models.heritage import face_archs as fa  # noqa: E402
+
+
+def _nchw(x):
+    return jnp.asarray(x.detach().numpy().transpose(0, 2, 3, 1))
+
+
+def _converge_spectral_norm(module, iters: int = 100):
+    """Run power iterations on every spectral_norm'd weight so sigma is the
+    actual spectral norm. Freshly-registered u/v are random, making
+    eval-mode sigma ~1e-2 and the normalized weights ~100x inflated —
+    trained checkpoints never look like that, and the inflation turns a
+    deep forward into fp chaos that no tolerance survives."""
+    sd = module.state_dict()
+    for k in list(sd):
+        if not k.endswith("weight_orig"):
+            continue
+        w = sd[k]
+        wm = w.reshape(w.shape[0], -1)
+        base = k[: -len("_orig")]
+        u = sd[f"{base}_u"]
+        for _ in range(iters):
+            v = torch.nn.functional.normalize(wm.t() @ u, dim=0)
+            u = torch.nn.functional.normalize(wm @ v, dim=0)
+        sd[f"{base}_u"] = u
+        sd[f"{base}_v"] = v
+    module.load_state_dict(sd)
+
+
+def test_hifacegan_generator_oracle():
+    from basicsr.archs.hifacegan_arch import HiFaceGAN as RefG
+
+    with torch.no_grad():
+        ref = RefG(num_in_ch=3, num_feat=8, crop_size=512).eval()
+        x = torch.randn(1, 3, 64, 64)
+        want = ref(x).numpy()
+        sd = ref.state_dict()
+    used = set()
+    params = cc.convert_hifacegan(sd, num_feat=8, used=used)
+    folded = cc.fold_spectral_norm(sd)
+    assert used == set(folded.keys()), sorted(set(folded) - used)[:8]
+    ours = fa.HiFaceGAN(fa.HiFaceGANConfig(num_feat=8))
+    got = ours.apply(params, _nchw(x))
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                               atol=5e-5, rtol=1e-4)
+
+
+def test_hifacegan_discriminator_oracle():
+    from basicsr.archs.hifacegan_arch import HiFaceGANDiscriminator as RefD
+
+    with torch.no_grad():
+        ref = RefD(num_in_ch=3, num_out_ch=3, num_d=2, n_layers_d=4,
+                   num_feat=8).eval()
+        x = torch.randn(1, 6, 64, 64)
+        want = ref(x)
+        sd = ref.state_dict()
+    used = set()
+    params = cc.convert_hifacegan_discriminator(sd, num_d=2, n_layers=4,
+                                                used=used)
+    folded = cc.fold_spectral_norm(sd)
+    assert used == set(folded.keys())
+    ours = fa.HiFaceGANDiscriminator(num_d=2, n_layers=4, num_feat=8)
+    got = ours.apply(params, _nchw(x))
+    assert len(got) == len(want) == 2
+    for stage_got, stage_want in zip(got, want):
+        assert len(stage_got) == len(stage_want)
+        for g_, w_ in zip(stage_got, stage_want):
+            np.testing.assert_allclose(
+                np.asarray(g_).transpose(0, 3, 1, 2), w_.numpy(),
+                atol=5e-5, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_dfdnet_oracle(tmp_path):
+    """Full DFDNet forward (512x512, the only size the net supports)
+    against the reference, including the dictionary swap path.
+
+    The dictionary entries are built FROM the image's actual part features
+    (one strong match + decoys) so the similarity argmax is well-separated;
+    with i.i.d. random entries the post-AdaIN scores tie to within fp noise
+    and the selection becomes a hardware lottery even for the reference
+    against itself."""
+    import torch.nn.functional as tF
+
+    rng = np.random.default_rng(0)
+    parts = ("left_eye", "right_eye", "nose", "mouth")
+    sizes = (256, 128, 64, 32)
+    chans = (128, 256, 512, 512)
+    vgg_layers = ("relu2_2", "relu3_4", "relu4_4", "conv5_4")
+    locs = [torch.tensor([[120., 150., 200., 230.]]),
+            torch.tensor([[300., 150., 380., 230.]]),
+            torch.tensor([[230., 240., 280., 330.]]),
+            torch.tensor([[190., 360., 320., 430.]])]
+    x = torch.randn(1, 3, 512, 512)
+
+    from basicsr.archs.dfdnet_arch import DFDNet as RefDFD
+    from basicsr.archs.vgg_arch import VGGFeatureExtractor
+
+    with torch.no_grad():
+        probe_vgg = VGGFeatureExtractor(
+            layer_name_list=list(vgg_layers), vgg_type="vgg19",
+            use_input_norm=True, range_norm=True,
+            requires_grad=False).eval()
+        feats = probe_vgg(x)
+        tdict = {}
+        for fs, ch, layer in zip(sizes, chans, vgg_layers):
+            d = {}
+            for part, loc in zip(parts, locs):
+                x0, y0, x1, y1 = [int(v) for v in (loc[0] // (512 / fs))]
+                pf = feats[layer][:, :, y0:y1, x0:x1]
+                prf = tF.interpolate(pf, (12, 12), mode="bilinear",
+                                     align_corners=False)
+                noise = torch.from_numpy(
+                    rng.normal(size=(3, ch, 12, 12)).astype(np.float32))
+                base = prf.repeat(3, 1, 1, 1)
+                if fs == 32:
+                    # conv5_4 features of a random-weight VGG are nearly
+                    # constant, so similarity scores tie to fp noise and
+                    # the argmax is a lottery even for the reference
+                    # against itself — make the entries identical so any
+                    # selection yields the same swap
+                    entry = base + noise[:1] * 0.3
+                else:
+                    # entry 1 is the clear best match
+                    entry = base + noise * torch.tensor([3.0, 0.3, 5.0]
+                                                        ).view(3, 1, 1, 1)
+                d[part] = entry
+            tdict[f"{fs}"] = d
+    dict_path = str(tmp_path / "dict.pth")
+    torch.save(tdict, dict_path)
+
+    with torch.no_grad():
+        ref = RefDFD(num_feat=64, dict_path=dict_path).eval()
+        # the probe VGG and the model's VGG are both randomly initialized;
+        # make them identical so the dictionary stays aligned
+        ref.vgg_extractor.load_state_dict(probe_vgg.state_dict())
+        _converge_spectral_norm(ref)
+        want = ref(x, locs).numpy()
+        sd = ref.state_dict()
+
+    used = set()
+    params = cc.convert_dfdnet(sd, used=used)
+    folded = cc.fold_spectral_norm(sd)
+    leftovers = {k for k in (set(folded) - used)
+                 if "num_batches_tracked" not in k}
+    assert not leftovers, sorted(leftovers)[:8]
+
+    jdict = {fs: {p: jnp.asarray(v.numpy().transpose(0, 2, 3, 1))
+                  for p, v in d.items()} for fs, d in tdict.items()}
+    ours = fa.DFDNet(num_feat=64, dictionary=jdict)
+    got = ours(params, _nchw(x), [l[0].numpy() for l in locs])
+    # [-1,1] tanh outputs after ~20 conv layers: fp32 accumulation noise
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                               atol=5e-3)
+
+
+def test_vgg19_features_oracle():
+    from basicsr.archs.vgg_arch import VGGFeatureExtractor
+
+    with torch.no_grad():
+        ref = VGGFeatureExtractor(
+            layer_name_list=["relu2_2", "relu3_4", "relu4_4", "conv5_4"],
+            vgg_type="vgg19", use_input_norm=True, range_norm=True,
+            requires_grad=False).eval()
+        x = torch.rand(1, 3, 64, 64) * 2 - 1
+        want = {k: v.numpy() for k, v in ref(x).items()}
+        sd = ref.state_dict()
+    used = set()
+    params = cc.convert_vgg_face(sd, prefix="", used=used)
+    assert used == set(sd.keys())
+    ours = fa.VGG19Features()
+    got = ours.apply(params, _nchw(x))
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_allclose(
+            np.asarray(got[k]).transpose(0, 3, 1, 2), want[k],
+            atol=1e-4, rtol=1e-3)
