@@ -957,6 +957,139 @@ def _conv_res_blocks(g: SDGet, num_block: int) -> Dict[str, Any]:
     return out
 
 
+def convert_rcan(sd: Mapping[str, Any], prefix: str = "",
+                 num_group: int = 10, num_block: int = 16,
+                 upscale: int = 4,
+                 used: Optional[set] = None) -> Dict[str, Any]:
+    """RCAN (rcan_arch.py:72-135): residual groups of RCAB blocks; the
+    channel-attention Sequential puts its convs at indices 1 and 3; the
+    pixel-shuffle Upsample puts convs at even indices."""
+    g = SDGet(sd, prefix, used)
+    out: Dict[str, Any] = {
+        "conv_first": g.conv("conv_first"),
+        "conv_after_body": g.conv("conv_after_body"),
+        "conv_last": g.conv("conv_last"),
+    }
+    for gi in range(num_group):
+        grp: Dict[str, Any] = {"conv": g.conv(f"body.{gi}.conv")}
+        for bi in range(num_block):
+            r = g.scope(f"body.{gi}.residual_group.{bi}")
+            grp[f"rcab_{bi}"] = {
+                "conv1": r.conv("rcab.0"),
+                "conv2": r.conv("rcab.2"),
+                "ca": {"down": r.conv("rcab.3.attention.1"),
+                       "up": r.conv("rcab.3.attention.3")},
+            }
+        out[f"group_{gi}"] = grp
+    # Upsample Sequential: scale 2^n -> conv at 0,2,..; scale 3 -> conv at 0
+    idx = 0
+    up = upscale
+    while up > 1:
+        r_ = 3 if up % 3 == 0 else 2
+        out[f"up_x{up}"] = g.conv(f"upsample.{idx}")
+        idx += 2
+        up //= r_
+    return {"params": out}
+
+
+def convert_basicvsr(sd: Mapping[str, Any], prefix: str = "",
+                     num_block: int = 15,
+                     used: Optional[set] = None) -> Dict[str, Any]:
+    """BasicVSR (basicvsr_arch.py:11-102). The internal SpyNet tower is
+    converted separately (``convert_spynet(prefix='spynet.')``) since our
+    module takes precomputed flows."""
+    g = SDGet(sd, prefix, used)
+    out: Dict[str, Any] = {
+        "backward_trunk": _conv_res_blocks(g.scope("backward_trunk"),
+                                           num_block),
+        "forward_trunk": _conv_res_blocks(g.scope("forward_trunk"), num_block),
+        "fusion": g.conv("fusion"),
+        "upconv1": g.conv("upconv1"),
+        "upconv2": g.conv("upconv2"),
+        "conv_hr": g.conv("conv_hr"),
+        "conv_last": g.conv("conv_last"),
+    }
+    return {"params": out}
+
+
+def convert_edvr(sd: Mapping[str, Any], prefix: str = "",
+                 num_extract_block: int = 5, num_reconstruct_block: int = 10,
+                 used: Optional[set] = None) -> Dict[str, Any]:
+    """EDVR with TSA, no predeblur (edvr_arch.py): PCD align (DCNv2Pack
+    weight/bias + conv_offset per level) + TSA fusion + reconstruction."""
+    g = SDGet(sd, prefix, used)
+    out: Dict[str, Any] = {
+        "conv_first": g.conv("conv_first"),
+        "conv_l2_1": g.conv("conv_l2_1"), "conv_l2_2": g.conv("conv_l2_2"),
+        "conv_l3_1": g.conv("conv_l3_1"), "conv_l3_2": g.conv("conv_l3_2"),
+        "upconv1": g.conv("upconv1"), "upconv2": g.conv("upconv2"),
+        "conv_hr": g.conv("conv_hr"), "conv_last": g.conv("conv_last"),
+    }
+    for i in range(num_extract_block):
+        out[f"extract_{i}"] = {
+            "conv1": g.conv(f"feature_extraction.{i}.conv1"),
+            "conv2": g.conv(f"feature_extraction.{i}.conv2")}
+    for i in range(num_reconstruct_block):
+        out[f"recon_{i}"] = {
+            "conv1": g.conv(f"reconstruction.{i}.conv1"),
+            "conv2": g.conv(f"reconstruction.{i}.conv2")}
+    p = g.scope("pcd_align")
+    pcd: Dict[str, Any] = {}
+    for lvl in (3, 2, 1):
+        pcd[f"offset_conv1_l{lvl}"] = p.conv(f"offset_conv1.l{lvl}")
+        pcd[f"offset_conv2_l{lvl}"] = p.conv(f"offset_conv2.l{lvl}")
+        if lvl < 3:
+            pcd[f"offset_conv3_l{lvl}"] = p.conv(f"offset_conv3.l{lvl}")
+            pcd[f"feat_conv_l{lvl}"] = p.conv(f"feat_conv.l{lvl}")
+        pcd[f"dcn_offset_l{lvl}"] = p.conv(f"dcn_pack.l{lvl}.conv_offset")
+        pcd[f"dcn_weight_l{lvl}"] = conv_kernel(
+            p.raw(f"dcn_pack.l{lvl}.weight"))
+        pcd[f"dcn_bias_l{lvl}"] = _np(p.raw(f"dcn_pack.l{lvl}.bias"))
+    pcd["cas_offset_conv1"] = p.conv("cas_offset_conv1")
+    pcd["cas_offset_conv2"] = p.conv("cas_offset_conv2")
+    pcd["cas_dcn_offset"] = p.conv("cas_dcnpack.conv_offset")
+    pcd["cas_dcn_weight"] = conv_kernel(p.raw("cas_dcnpack.weight"))
+    pcd["cas_dcn_bias"] = _np(p.raw("cas_dcnpack.bias"))
+    out["pcd"] = pcd
+    f = g.scope("fusion")
+    out["fusion"] = {
+        name: f.conv(name) for name in (
+            "temporal_attn1", "temporal_attn2", "feat_fusion",
+            "spatial_attn1", "spatial_attn2", "spatial_attn3",
+            "spatial_attn4", "spatial_attn5", "spatial_attn_l1",
+            "spatial_attn_l2", "spatial_attn_l3", "spatial_attn_add1",
+            "spatial_attn_add2")
+    }
+    return {"params": out}
+
+
+def convert_basicvsrpp(sd: Mapping[str, Any], prefix: str = "",
+                       num_block: int = 7,
+                       used: Optional[set] = None) -> Dict[str, Any]:
+    """BasicVSR++ (basicvsrpp_arch.py:17-345). SpyNet converted
+    separately; flows are inputs to our module."""
+    g = SDGet(sd, prefix, used)
+    out: Dict[str, Any] = {
+        "feat_extract": _conv_res_blocks(g.scope("feat_extract"), 5),
+        "reconstruction": _conv_res_blocks(g.scope("reconstruction"), 5),
+        "upconv1": g.conv("upconv1"), "upconv2": g.conv("upconv2"),
+        "conv_hr": g.conv("conv_hr"), "conv_last": g.conv("conv_last"),
+    }
+    for name in ("backward_1", "forward_1", "backward_2", "forward_2"):
+        d = g.scope(f"deform_align.{name}")
+        out[f"deform_align_{name}"] = {
+            "offset_conv1": d.conv("conv_offset.0"),
+            "offset_conv2": d.conv("conv_offset.2"),
+            "offset_conv3": d.conv("conv_offset.4"),
+            "offset_conv4": d.conv("conv_offset.6"),
+            "dcn_weight": conv_kernel(d.raw("weight")),
+            "dcn_bias": _np(d.raw("bias")),
+        }
+        out[f"backbone_{name}"] = _conv_res_blocks(
+            g.scope(f"backbone.{name}"), num_block)
+    return {"params": out}
+
+
 def convert_coupleprop(sd: Mapping[str, Any], prefix: str = "",
                        num_block: int = 5,
                        used: Optional[set] = None) -> Dict[str, Any]:

@@ -144,9 +144,9 @@ class PCDAlignment(nn.Module):
             dcn_off = _conv(3 * self.deform_groups * k,
                             name=f"dcn_offset_l{lvl}")(off)
             o1, o2, m = jnp.split(dcn_off, 3, axis=-1)
-            n_, h_, w_, _ = o1.shape
-            offset = jnp.stack([o1, o2], -1).reshape(
-                n_, h_, w_, 2 * self.deform_groups * k)
+            # DCNv2Pack offset layout (arch_util.py:323-326): plain channel
+            # concat of the two chunks, interpreted [g][tap][(y,x)]
+            offset = jnp.concatenate([o1, o2], axis=-1)
             mask = jax.nn.sigmoid(m)
             w_dcn = self.param(f"dcn_weight_l{lvl}",
                                nn.initializers.lecun_normal(),
@@ -174,9 +174,7 @@ class PCDAlignment(nn.Module):
         off = lrelu(_conv(self.num_feat, name="cas_offset_conv2")(off))
         dcn_off = _conv(3 * self.deform_groups * k, name="cas_dcn_offset")(off)
         o1, o2, m = jnp.split(dcn_off, 3, axis=-1)
-        n_, h_, w_, _ = o1.shape
-        offset = jnp.stack([o1, o2], -1).reshape(
-            n_, h_, w_, 2 * self.deform_groups * k)
+        offset = jnp.concatenate([o1, o2], axis=-1)
         w_dcn = self.param("cas_dcn_weight", nn.initializers.lecun_normal(),
                            (3, 3, self.num_feat, self.num_feat))
         b_dcn = self.param("cas_dcn_bias", nn.initializers.zeros,
@@ -188,7 +186,9 @@ class PCDAlignment(nn.Module):
 
 
 class TSAFusion(nn.Module):
-    """Temporal + spatial attention fusion (EDVR)."""
+    """Temporal + spatial attention fusion (EDVR, edvr_arch.py TSAFusion):
+    frame-correlation temporal weighting, then a two-level max/avg-pool
+    spatial-attention pyramid with the reference's exact conv sizes."""
 
     num_feat: int = 64
     num_frame: int = 5
@@ -198,28 +198,42 @@ class TSAFusion(nn.Module):
     def __call__(self, aligned):  # [B, T, H, W, C]
         b, t, h, w, c = aligned.shape
         lrelu = lambda z: nn.leaky_relu(z, 0.1)
+        pool_kw = dict(window_shape=(3, 3), strides=(2, 2),
+                       padding=((1, 1), (1, 1)))
         emb_ref = _conv(self.num_feat, name="temporal_attn1")(
             aligned[:, self.center])
         emb = _conv(self.num_feat, name="temporal_attn2")(
             aligned.reshape(b * t, h, w, c)).reshape(b, t, h, w, -1)
         corr = jnp.sum(emb * emb_ref[:, None], axis=-1, keepdims=True)
         prob = jax.nn.sigmoid(corr)
-        feat = (aligned * prob).reshape(b, h, w, t * c)
-        feat = lrelu(_conv(self.num_feat, 1, name="feat_fusion")(feat))
+        # torch flattens [b,t,c,h,w] -> [b, t*c, h, w]: t-major channels
+        al = (aligned * prob).transpose(0, 2, 3, 1, 4).reshape(b, h, w, t * c)
+        feat = lrelu(_conv(self.num_feat, 1, name="feat_fusion")(al))
 
-        # spatial attention pyramid
-        attn = lrelu(_conv(self.num_feat, 1, name="spatial_attn1")(
-            (aligned * prob).reshape(b, h, w, t * c)))
-        attn_max = nn.max_pool(attn, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
-        attn_avg = nn.avg_pool(attn, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
+        # spatial attention pyramid (two pooled levels)
+        attn = lrelu(_conv(self.num_feat, 1, name="spatial_attn1")(al))
+        attn_max = nn.max_pool(attn, **pool_kw)
+        attn_avg = nn.avg_pool(attn, **pool_kw, count_include_pad=True)
         attn = lrelu(_conv(self.num_feat, 1, name="spatial_attn2")(
             jnp.concatenate([attn_max, attn_avg], -1)))
-        attn = lrelu(_conv(self.num_feat, name="spatial_attn3")(attn))
+        attn_level = lrelu(_conv(self.num_feat, 1, name="spatial_attn_l1")(
+            attn))
+        al_max = nn.max_pool(attn_level, **pool_kw)
+        al_avg = nn.avg_pool(attn_level, **pool_kw, count_include_pad=True)
+        attn_level = lrelu(_conv(self.num_feat, name="spatial_attn_l2")(
+            jnp.concatenate([al_max, al_avg], -1)))
+        attn_level = lrelu(_conv(self.num_feat, name="spatial_attn_l3")(
+            attn_level))
+        attn_level = resize2d(
+            attn_level, (attn.shape[1], attn.shape[2]), "bilinear")
+        attn = lrelu(_conv(self.num_feat, name="spatial_attn3")(attn)) \
+            + attn_level
+        attn = lrelu(_conv(self.num_feat, 1, name="spatial_attn4")(attn))
         attn = resize2d(attn, (h, w), "bilinear")
-        attn = _conv(self.num_feat, name="spatial_attn4")(attn)
-        attn = jax.nn.sigmoid(_conv(self.num_feat, name="spatial_attn5")(attn))
-        return feat * attn * 2 + _conv(self.num_feat, 1,
-                                       name="spatial_attn_add")(feat)
+        attn = _conv(self.num_feat, name="spatial_attn5")(attn)
+        attn_add = _conv(self.num_feat, 1, name="spatial_attn_add2")(
+            lrelu(_conv(self.num_feat, 1, name="spatial_attn_add1")(attn)))
+        return feat * jax.nn.sigmoid(attn) * 2 + attn_add
 
 
 class EDVR(nn.Module):
@@ -273,44 +287,55 @@ class EDVR(nn.Module):
         return out + base
 
 
-class FlowGuidedDeformAlign(nn.Module):
-    """BasicVSR++ second-order deformable alignment: flows pre-warp the
-    propagated features; residual offsets are predicted on top (max offset
-    clamped by tanh * max_residue_magnitude)."""
+class SecondOrderDeformAlign(nn.Module):
+    """BasicVSR++ second-order flow-guided deformable alignment
+    (basicvsrpp_arch.py:347-422 ``SecondOrderDeformableAlignment``):
+    offsets = max_residue_magnitude * tanh(conv_offset(cond, flows)) with
+    the two flows added as tiled (y,x) bases, mask sigmoided, DCN over the
+    concatenated [feat_prop, feat_n2] (2C channels)."""
 
     num_feat: int = 64
     deform_groups: int = 16
     max_residue_magnitude: float = 10.0
 
     @nn.compact
-    def __call__(self, feat_prop, cond, flow):
-        k = 9
+    def __call__(self, x, cond, flow1, flow2):
         g = self.deform_groups
         lrelu = lambda z: nn.leaky_relu(z, 0.1)
-        h1 = lrelu(_conv(self.num_feat, name="conv_offset1")(cond))
-        h1 = lrelu(_conv(self.num_feat, name="conv_offset2")(h1))
-        out = _conv(3 * g * k, name="conv_offset3")(h1)
+        ef = jnp.concatenate([cond, flow1, flow2], axis=-1)
+        h1 = lrelu(_conv(self.num_feat, name="offset_conv1")(ef))
+        h1 = lrelu(_conv(self.num_feat, name="offset_conv2")(h1))
+        h1 = lrelu(_conv(self.num_feat, name="offset_conv3")(h1))
+        out = _conv(27 * g, name="offset_conv4")(h1)
         o1, o2, m = jnp.split(out, 3, axis=-1)
-        res = self.max_residue_magnitude * jnp.tanh(
-            jnp.concatenate([o1, o2], -1))
-        n_, h_, w_, _ = o1.shape
-        res = res.reshape(n_, h_, w_, 2, g, k).transpose(0, 1, 2, 4, 5, 3)
-        # add the optical flow as the base offset ((y, x) ordering: flow is
-        # (x, y) so swap)
-        base = jnp.stack([flow[..., 1], flow[..., 0]], -1)[:, :, :, None, None]
-        offset = (res + base).reshape(n_, h_, w_, 2 * g * k)
+        offset = self.max_residue_magnitude * jnp.tanh(
+            jnp.concatenate([o1, o2], axis=-1))
+        off1, off2 = jnp.split(offset, 2, axis=-1)
+        # flow.flip(1) in NCHW = (y, x) channel order, tiled across taps
+        f1 = jnp.stack([flow1[..., 1], flow1[..., 0]], -1)
+        f2 = jnp.stack([flow2[..., 1], flow2[..., 0]], -1)
+        off1 = off1 + jnp.tile(f1, (1, 1, 1, off1.shape[-1] // 2))
+        off2 = off2 + jnp.tile(f2, (1, 1, 1, off2.shape[-1] // 2))
+        offset = jnp.concatenate([off1, off2], axis=-1)
         mask = jax.nn.sigmoid(m)
+        cin = x.shape[-1]
         w_dcn = self.param("dcn_weight", nn.initializers.lecun_normal(),
-                           (3, 3, self.num_feat, self.num_feat))
-        b_dcn = self.param("dcn_bias", nn.initializers.zeros, (self.num_feat,))
-        return modulated_deform_conv2d(feat_prop, offset, mask, w_dcn, b_dcn,
+                           (3, 3, cin, self.num_feat))
+        b_dcn = self.param("dcn_bias", nn.initializers.zeros,
+                           (self.num_feat,))
+        return modulated_deform_conv2d(x, offset, mask, w_dcn, b_dcn,
                                        deform_groups=g)
 
 
+BVPP_BRANCHES = ("backward_1", "forward_1", "backward_2", "forward_2")
+
+
 class BasicVSRPlusPlus(nn.Module):
-    """Second-order grid propagation with flow-guided deformable alignment
-    (single-order simplification of the 4-branch grid: one backward + one
-    forward branch, matching capability on 5-frame windows)."""
+    """BasicVSR++ (basicvsrpp_arch.py:17-345): the full second-order
+    4-branch grid propagation (backward_1/forward_1/backward_2/forward_2),
+    each branch with flow-guided second-order deformable alignment and a
+    growing-width residual backbone, then 5C reconstruction + x4
+    pixel-shuffle. Flows are inputs (shared SpyNet tower)."""
 
     num_feat: int = 64
     num_block: int = 7
@@ -319,54 +344,69 @@ class BasicVSRPlusPlus(nn.Module):
     @nn.compact
     def __call__(self, frames, flows_forward, flows_backward):
         b, t, h, w, _ = frames.shape
-        feat_extract = ConvResidualBlocks(self.num_feat, 5, name="feat_extract")
-        feats = feat_extract(frames.reshape(b * t, h, w, 3)).reshape(
-            b, t, h, w, self.num_feat)
-
-        g = min(self.deform_groups, self.num_feat)
-        align_b = FlowGuidedDeformAlign(self.num_feat, g, name="align_backward")
-        align_f = FlowGuidedDeformAlign(self.num_feat, g, name="align_forward")
-        trunk_b = ConvResidualBlocks(self.num_feat, self.num_block,
-                                     name="trunk_backward")
-        trunk_f = ConvResidualBlocks(self.num_feat, self.num_block,
-                                     name="trunk_forward")
-
-        # backward branch
-        bwd = [None] * t
-        feat_prop = jnp.zeros((b, h, w, self.num_feat), frames.dtype)
-        for i in range(t - 1, -1, -1):
-            if i < t - 1:
-                flow = flows_backward[:, i]
-                warped = flow_warp(feat_prop, flow)
-                cond = jnp.concatenate([warped, feats[:, i]], -1)
-                feat_prop = align_b(feat_prop, cond, flow)
-            feat_prop = trunk_b(
-                jnp.concatenate([feats[:, i], feat_prop], -1))
-            bwd[i] = feat_prop
-
-        # forward branch
-        outs = []
         lrelu = lambda z: nn.leaky_relu(z, 0.1)
-        fusion = _conv(self.num_feat, 1, name="fusion")
+        spatial = ConvResidualBlocks(self.num_feat, 5, name="feat_extract")(
+            frames.reshape(b * t, h, w, 3)).reshape(
+                b, t, h, w, self.num_feat)
+
+        feats = {"spatial": [spatial[:, i] for i in range(t)]}
+        for bi, name in enumerate(BVPP_BRANCHES):
+            align = SecondOrderDeformAlign(
+                self.num_feat, self.deform_groups,
+                name=f"deform_align_{name}")
+            backbone = ConvResidualBlocks(self.num_feat, self.num_block,
+                                          name=f"backbone_{name}")
+            backward = "backward" in name
+            flows = flows_backward if backward else flows_forward
+            frame_idx = list(range(t))[::-1] if backward else list(range(t))
+            flow_idx = (frame_idx if backward
+                        else [-1] + list(range(t - 1)))
+            feats[name] = []
+            feat_prop = jnp.zeros((b, h, w, self.num_feat), frames.dtype)
+            for i, idx in enumerate(frame_idx):
+                feat_current = feats["spatial"][idx]
+                if i > 0:
+                    flow_n1 = flows[:, flow_idx[i]]
+                    cond_n1 = flow_warp(feat_prop, flow_n1)
+                    feat_n2 = jnp.zeros_like(feat_prop)
+                    flow_n2 = jnp.zeros_like(flow_n1)
+                    cond_n2 = jnp.zeros_like(cond_n1)
+                    if i > 1:  # second-order connection
+                        feat_n2 = feats[name][-2]
+                        flow_n2 = flows[:, flow_idx[i - 1]]
+                        flow_n2 = flow_n1 + flow_warp(flow_n2, flow_n1)
+                        cond_n2 = flow_warp(feat_n2, flow_n2)
+                    cond = jnp.concatenate(
+                        [cond_n1, feat_current, cond_n2], -1)
+                    feat_prop = align(
+                        jnp.concatenate([feat_prop, feat_n2], -1),
+                        cond, flow_n1, flow_n2)
+                feat = jnp.concatenate(
+                    [feat_current]
+                    + [feats[k][idx] for k in feats
+                       if k not in ("spatial", name)]
+                    + [feat_prop], -1)
+                feat_prop = feat_prop + backbone(feat)
+                feats[name].append(feat_prop)
+            if backward:
+                feats[name] = feats[name][::-1]
+
+        recon = ConvResidualBlocks(self.num_feat, 5, name="reconstruction")
         up1 = _conv(self.num_feat * 4, name="upconv1")
         up2 = _conv(64 * 4, name="upconv2")
         conv_hr = _conv(64, name="conv_hr")
         conv_last = _conv(3, name="conv_last")
-        feat_prop = jnp.zeros((b, h, w, self.num_feat), frames.dtype)
+        outs = []
         for i in range(t):
-            if i > 0:
-                flow = flows_forward[:, i - 1]
-                warped = flow_warp(feat_prop, flow)
-                cond = jnp.concatenate([warped, feats[:, i]], -1)
-                feat_prop = align_f(feat_prop, cond, flow)
-            feat_prop = trunk_f(
-                jnp.concatenate([feats[:, i], feat_prop], -1))
-            out = lrelu(fusion(jnp.concatenate([bwd[i], feat_prop], -1)))
-            out = lrelu(pixel_shuffle(up1(out), 2))
-            out = lrelu(pixel_shuffle(up2(out), 2))
-            out = conv_last(lrelu(conv_hr(out)))
+            hr = jnp.concatenate(
+                [feats["spatial"][i]] + [feats[k][i] for k in BVPP_BRANCHES],
+                -1)
+            hr = recon(hr)
+            hr = lrelu(pixel_shuffle(up1(hr), 2))
+            hr = lrelu(pixel_shuffle(up2(hr), 2))
+            hr = conv_last(lrelu(conv_hr(hr)))
             base = resize2d(frames[:, i], (h * 4, w * 4), "bilinear")
-            outs.append(out + base)
+            outs.append(hr + base)
         return jnp.stack(outs, axis=1)
 
 

@@ -1,0 +1,177 @@
+"""Numeric oracles for heritage SR/VSR backbones against the ACTUAL
+reference archs (round-2 continuation of test_ref_oracle.py): RCAN and
+BasicVSR, through their converters."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+for _p in (os.path.join(_HERE, "ref_shims"), "/root/reference"):
+    if _p not in sys.path:
+        sys.path.insert(0, _p)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir("/root/reference"), reason="reference tree absent")
+
+import torch  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+
+from mgldvsr_tpu.io import ckpt_convert as cc  # noqa: E402
+
+
+def _nhwc(x):
+    return jnp.asarray(x.detach().numpy().transpose(0, 2, 3, 1))
+
+
+def test_rcan_oracle():
+    from basicsr.archs.rcan_arch import RCAN as RefRCAN
+
+    from mgldvsr_tpu.models.heritage.misc_archs import RCAN
+
+    with torch.no_grad():
+        ref = RefRCAN(num_in_ch=3, num_out_ch=3, num_feat=16, num_group=2,
+                      num_block=2, squeeze_factor=4, upscale=4,
+                      res_scale=1).eval()
+        x = torch.rand(1, 3, 16, 16)
+        want = ref(x).numpy()
+        sd = ref.state_dict()
+    used = set()
+    params = cc.convert_rcan(sd, num_group=2, num_block=2, upscale=4,
+                             used=used)
+    assert used == set(sd.keys())
+    ours = RCAN(num_feat=16, num_group=2, num_block=2, squeeze_factor=4,
+                upscale=4)
+    got = ours.apply(params, _nhwc(x))
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                               atol=1e-4, rtol=1e-3)
+
+
+def test_rcan_oracle_x3():
+    from basicsr.archs.rcan_arch import RCAN as RefRCAN
+
+    from mgldvsr_tpu.models.heritage.misc_archs import RCAN
+
+    with torch.no_grad():
+        ref = RefRCAN(num_in_ch=3, num_out_ch=3, num_feat=8, num_group=1,
+                      num_block=1, squeeze_factor=4, upscale=3).eval()
+        x = torch.rand(1, 3, 12, 12)
+        want = ref(x).numpy()
+        sd = ref.state_dict()
+    used = set()
+    params = cc.convert_rcan(sd, num_group=1, num_block=1, upscale=3,
+                             used=used)
+    assert used == set(sd.keys())
+    got = RCAN(num_feat=8, num_group=1, num_block=1, squeeze_factor=4,
+               upscale=3).apply(params, _nhwc(x))
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                               atol=1e-4, rtol=1e-3)
+
+
+def test_basicvsr_oracle():
+    from basicsr.archs.basicvsr_arch import BasicVSR as RefBVSR
+
+    from mgldvsr_tpu.models.heritage.video_archs import BasicVSR
+
+    with torch.no_grad():
+        ref = RefBVSR(num_feat=16, num_block=2).eval()
+        x = torch.rand(1, 3, 3, 64, 64)
+        flows_forward, flows_backward = ref.get_flow(x)
+        want = ref(x).numpy()
+        sd = ref.state_dict()
+
+    used = set()
+    params = cc.convert_basicvsr(sd, num_block=2, used=used)
+    # the SpyNet tower lives in the same checkpoint; flows are inputs here
+    spy_used = set()
+    cc.convert_spynet(sd, prefix="spynet.", used=spy_used)
+    leftovers = set(sd.keys()) - used - spy_used
+    # normalization buffers are constants in our SpyNet module
+    assert leftovers <= {"spynet.mean", "spynet.std"}, sorted(leftovers)[:8]
+
+    ours = BasicVSR(num_feat=16, num_block=2)
+    frames = jnp.asarray(x.numpy().transpose(0, 1, 3, 4, 2))
+    ff = jnp.asarray(flows_forward.numpy().transpose(0, 1, 3, 4, 2))
+    fb = jnp.asarray(flows_backward.numpy().transpose(0, 1, 3, 4, 2))
+    got = ours.apply(params, frames, ff, fb)
+    # recurrent bilinear warps compound fp noise across frames
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 1, 4, 2, 3), want, atol=2e-3)
+
+
+def _patch_ref_dcn():
+    """Replace the reference's CUDA-only modulated_deform_conv with the
+    torchvision-shim's pure-torch deform_conv2d (same documented
+    semantics) so EDVR runs on CPU."""
+    import basicsr.archs.arch_util as au
+    from torchvision.ops import deform_conv2d as tv_dcn
+
+    def mdc(x, offset, mask, weight, bias, stride, padding, dilation,
+            groups, deformable_groups):
+        return tv_dcn(x, offset, weight, bias, stride=stride,
+                      padding=padding, dilation=dilation, mask=mask)
+
+    au.modulated_deform_conv = mdc
+
+
+def test_edvr_oracle():
+    _patch_ref_dcn()
+    from basicsr.archs.edvr_arch import EDVR as RefEDVR
+
+    from mgldvsr_tpu.models.heritage.video_archs import EDVR
+
+    with torch.no_grad():
+        ref = RefEDVR(num_feat=16, num_frame=5, deformable_groups=2,
+                      num_extract_block=2, num_reconstruct_block=2).eval()
+        x = torch.rand(1, 5, 3, 16, 16)
+        want = ref(x).numpy()
+        sd = ref.state_dict()
+    used = set()
+    params = cc.convert_edvr(sd, num_extract_block=2,
+                             num_reconstruct_block=2, used=used)
+    assert used == set(sd.keys()), sorted(set(sd.keys()) - used)[:8]
+    ours = EDVR(num_feat=16, num_frame=5, num_extract_block=2,
+                num_reconstruct_block=2, deform_groups=2)
+    frames = jnp.asarray(x.numpy().transpose(0, 1, 3, 4, 2))
+    got = ours.apply(params, frames)
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), want, atol=5e-4)
+
+
+def test_basicvsrpp_oracle():
+    _patch_ref_dcn()
+    from basicsr.archs.basicvsrpp_arch import BasicVSRPlusPlus as RefBVPP
+
+    from mgldvsr_tpu.models.heritage.video_archs import BasicVSRPlusPlus
+
+    # the reference skips creating the alignment modules without CUDA
+    # (basicvsrpp_arch.py:73); their construction and CPU forward work fine
+    orig_cuda = torch.cuda.is_available
+    torch.cuda.is_available = lambda: True
+    try:
+        ref = RefBVPP(mid_channels=16, num_blocks=2, max_residue_magnitude=10,
+                      is_low_res_input=True, spynet_path=None).eval()
+    finally:
+        torch.cuda.is_available = orig_cuda
+    with torch.no_grad():
+        x = torch.rand(1, 4, 3, 64, 64)
+        want = ref(x).numpy()  # also sets cpu_cache/is_mirror_extended
+        # flows exactly as the reference computes them internally
+        flows_forward, flows_backward = ref.compute_flow(x)
+        sd = ref.state_dict()
+    used = set()
+    params = cc.convert_basicvsrpp(sd, num_block=2, used=used)
+    spy_used = set()
+    cc.convert_spynet(sd, prefix="spynet.", used=spy_used)
+    leftovers = set(sd.keys()) - used - spy_used
+    assert leftovers <= {"spynet.mean", "spynet.std"}, sorted(leftovers)[:8]
+
+    ours = BasicVSRPlusPlus(num_feat=16, num_block=2, deform_groups=16)
+    frames = jnp.asarray(x.numpy().transpose(0, 1, 3, 4, 2))
+    ff = jnp.asarray(flows_forward.numpy().transpose(0, 1, 3, 4, 2))
+    fb = jnp.asarray(flows_backward.numpy().transpose(0, 1, 3, 4, 2))
+    got = ours.apply(params, frames, ff, fb)
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 1, 4, 2, 3), want, atol=2e-3)
