@@ -32,17 +32,35 @@ from jax.experimental.pallas import tpu as pltpu
 def _lookup_kernel(starts_ref, corr_ref, out_ref, *, side: int):
     """starts_ref (SMEM): [1, Q, 2] int32 (sy, sx) clamped window starts in
     padded-map coordinates; corr_ref: [1, Q, Hp, Wp]; out_ref: [1, Q, side,
-    side] integer-grid patches (side = 2r+2)."""
+    side] integer-grid patches (side = 2r+2).
+
+    Row extraction: maps narrower than one 128-lane tile use a dynamic
+    sublane-start ``pl.ds`` slice (free); wider maps span lane tiles, where
+    Mosaic requires provably 8-aligned sublane starts — there the rows are
+    selected with a one-hot [side, Hp] matmul instead (static indexing,
+    small MXU work). Columns always use the one-hot matmul select."""
     q = corr_ref.shape[1]
+    hp = corr_ref.shape[2]
     wp = corr_ref.shape[3]
     # one-hot column selector built once per program: sel[m, j] = m == sx + j
     m_iota = jax.lax.broadcasted_iota(jnp.int32, (wp, side), 0)
     j_iota = jax.lax.broadcasted_iota(jnp.int32, (wp, side), 1)
+    row_select_matmul = wp > 128
+    if row_select_matmul:
+        my_iota = jax.lax.broadcasted_iota(jnp.int32, (side, hp), 1)
+        jy_iota = jax.lax.broadcasted_iota(jnp.int32, (side, hp), 0)
 
     def body(i, _):
         sy = starts_ref[0, i, 0]
         sx = starts_ref[0, i, 1]
-        rows = corr_ref[0, i, pl.ds(sy, side), :]  # [side, Wp]
+        if row_select_matmul:
+            amap = corr_ref[0, i]  # [Hp, Wp], static load
+            sel_y = (my_iota == sy + jy_iota).astype(amap.dtype)
+            rows = jnp.dot(sel_y, amap,
+                           preferred_element_type=jnp.float32
+                           ).astype(amap.dtype)  # [side, Wp]
+        else:
+            rows = corr_ref[0, i, pl.ds(sy, side), :]  # [side, Wp]
         sel = (m_iota == sx + j_iota).astype(rows.dtype)  # [Wp, side]
         out_ref[0, i] = jnp.dot(rows, sel,
                                 preferred_element_type=jnp.float32
@@ -52,6 +70,27 @@ def _lookup_kernel(starts_ref, corr_ref, out_ref, *, side: int):
     jax.lax.fori_loop(0, q, body, 0)
 
 
+def _pick_q_block(n: int, hp: int, wp: int, itemsize: int,
+                  q_block: int) -> int:
+    """Largest divisor of n that is <= q_block AND whose double-buffered
+    input window ([qb, Hp, Wp] x2) fits the ~16 MB VMEM budget. The old
+    ``n if not divisible`` fallback made ONE giant block — at 720p RAFT
+    (n=14400, level-0 maps 112x182) that is a 9.8 MB SMEM starts block and
+    a >1 GB VMEM window, which kills the Mosaic compile."""
+    # Mosaic tiles pad the sublane dim to 8 and the lane dim to 128; the
+    # double-buffered window is charged at the padded size
+    hp_pad = (hp + 7) // 8 * 8
+    wp_pad = (wp + 127) // 128 * 128
+    per_q = hp_pad * wp_pad * itemsize * 2
+    cap = max(int((12 * 2 ** 20) // per_q), 1)
+    cap = min(cap, q_block, n)
+    # Mosaic: a partial block's sublane dim must be a multiple of 8
+    for d in range(cap - cap % 8, 0, -8):
+        if n % d == 0:
+            return d
+    return n  # single block (tiny maps only; fits VMEM by construction)
+
+
 def _pallas_window_patches(corr_pad: jnp.ndarray, starts: jnp.ndarray,
                            radius: int, q_block: int,
                            interpret: bool = False) -> jnp.ndarray:
@@ -59,7 +98,7 @@ def _pallas_window_patches(corr_pad: jnp.ndarray, starts: jnp.ndarray,
     [B, N, 2r+2, 2r+2]."""
     b, n, hp, wp = corr_pad.shape
     side = 2 * radius + 2
-    qb = q_block if n % q_block == 0 else n
+    qb = _pick_q_block(n, hp, wp, corr_pad.dtype.itemsize, q_block)
     return pl.pallas_call(
         partial(_lookup_kernel, side=side),
         grid=(b, n // qb),
