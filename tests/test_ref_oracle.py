@@ -1060,3 +1060,147 @@ def test_srvgg_oracle():
     ours = SRVGGNetCompact(num_feat=16, num_conv=4, upscale=4).apply(
         cc.to_jax(params), jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(ours), nhwc(out_ref), atol=2e-5)
+
+
+# --------------------------------------------------------------------------
+# FULL guided p_sample_loop: the reference's own sampling loop vs ours
+# --------------------------------------------------------------------------
+
+
+def test_guided_p_sample_loop_oracle():
+    """Runs the REFERENCE'S `LatentDiffusionVSRTextWT.p_sample_loop`
+    (ddpm.py:4501-4599) verbatim — per-step struct-cond encoder, full
+    inflated UNet via the real DiffusionWrapper, posterior step, and the
+    motion-guidance gradient correction — on a mock `self` carrying the
+    reference's own `register_schedule` buffers, and asserts our
+    `sample_video` scan produces the same trajectory on converted weights.
+
+    Noise injection is zeroed on both sides (ref `noise_like` patched to
+    zeros, ours `temperature=0`): torch and JAX RNGs cannot draw identical
+    gaussians, and the stochastic term is covered by the golden sampler
+    tests; everything else — 25 composed guided steps — is exact."""
+    import ldm.models.diffusion.ddpm as rddpm
+    from ldm.models.diffusion.ddpm import (
+        DiffusionWrapper,
+        LatentDiffusionVSRTextWT,
+    )
+    from ldm.modules.diffusionmodules.openaimodel import (
+        InflatedEncoderUNetModelWT,
+        InflatedUNetModelDualcondV2,
+    )
+
+    from mgldvsr_tpu.core.diffusion import SamplerConfig, sample_video
+    from mgldvsr_tpu.core.schedules import DiffusionSchedule
+    from mgldvsr_tpu.models.unet import (
+        InflatedUNetDualCond,
+        StructCondConfig,
+        StructCondEncoder,
+        UNetConfig,
+    )
+
+    t, hw, ctx_dim, semb, n_steps = 2, 16, 32, 32, 25
+    ls, le = 0.00085, 0.0120
+
+    # --- reference model assembled from its own pieces -------------------
+    unet_params = dict(
+        image_size=hw, in_channels=4, model_channels=32, out_channels=4,
+        num_res_blocks=2, attention_resolutions=[1, 2], channel_mult=[1, 2],
+        num_frames=t, num_head_channels=16, use_spatial_transformer=True,
+        use_linear_in_transformer=True, transformer_depth=1,
+        context_dim=ctx_dim, legacy=False, semb_channels=semb)
+    wrapper = DiffusionWrapper(
+        {"target":
+         "ldm.modules.diffusionmodules.openaimodel.InflatedUNetModelDualcondV2",
+         "params": unet_params}, conditioning_key="crossattn")
+    sd_unet = randomize(wrapper.diffusion_model, 4)
+
+    structcond = InflatedEncoderUNetModelWT(
+        image_size=hw, in_channels=4, model_channels=32, out_channels=semb,
+        num_res_blocks=2, attention_resolutions=[1, 2], channel_mult=[1, 1],
+        num_heads=4, num_frames=t)
+    sd_sc = randomize(structcond, 5)
+
+    class FakeLD(torch.nn.Module):
+        register_schedule = rddpm.DDPM.register_schedule
+        predict_start_from_noise = rddpm.DDPM.predict_start_from_noise
+        q_posterior = rddpm.DDPM.q_posterior
+        q_sample = rddpm.DDPM.q_sample
+        p_sample_loop = LatentDiffusionVSRTextWT.p_sample_loop
+        p_sample = LatentDiffusionVSRTextWT.p_sample
+        p_mean_variance = LatentDiffusionVSRTextWT.p_mean_variance
+        apply_model = LatentDiffusionVSRTextWT.apply_model
+        compute_temporal_condition_v4 = (
+            LatentDiffusionVSRTextWT.compute_temporal_condition_v4)
+
+    fake = FakeLD()
+    fake.num_frames = t
+    fake.parameterization = "eps"
+    fake.v_posterior = 0.0
+    fake.clip_denoised = False
+    fake.log_every_t = 10_000
+    fake.shorten_cond_schedule = False
+    fake.model = wrapper
+    fake.structcond_stage_model = structcond
+    fake.register_schedule(beta_schedule="linear", timesteps=n_steps,
+                           linear_start=ls, linear_end=le)
+
+    rs = np.random.RandomState(33)
+    b = 1
+    x_T = rs.standard_normal((b * t, hw, hw, 4)).astype(np.float32)
+    ctx = rs.standard_normal((b * t, 7, ctx_dim)).astype(np.float32)
+    z_lq = rs.standard_normal((b * t, hw, hw, 4)).astype(np.float32)
+    ff = (rs.standard_normal((b, t - 1, hw, hw, 2)) * 1.5).astype(np.float32)
+    fb = (rs.standard_normal((b, t - 1, hw, hw, 2)) * 1.5).astype(np.float32)
+    occ_f = (rs.rand(b, t - 1, hw, hw, 1) > 0.7).astype(np.float32)
+    occ_b = (rs.rand(b, t - 1, hw, hw, 1) > 0.7).astype(np.float32)
+    gscale = -8.0
+
+    orig_noise_like = rddpm.noise_like
+    rddpm.noise_like = lambda shape, device, repeat=False: torch.zeros(
+        shape, device=device)
+    try:
+        flows_t = (torch.from_numpy(ff.transpose(0, 1, 4, 2, 3).copy()),
+                   torch.from_numpy(fb.transpose(0, 1, 4, 2, 3).copy()))
+        masks_t = (torch.from_numpy(occ_f.transpose(0, 1, 4, 2, 3).copy()),
+                   torch.from_numpy(occ_b.transpose(0, 1, 4, 2, 3).copy()))
+        out_ref = fake.p_sample_loop(
+            torch.from_numpy(ctx), nchw(z_lq), (b * t, 4, hw, hw),
+            guidance_scale=gscale, flows=flows_t, masks=masks_t,
+            x_T=nchw(x_T), verbose=False, time_replace=None)
+    finally:
+        rddpm.noise_like = orig_noise_like
+
+    # --- ours on converted weights ---------------------------------------
+    used = set()
+    unet_tree = cc.to_jax(cc.convert_unet(
+        sd_unet, prefix="", channel_mult=(1, 2), num_res_blocks=2,
+        attention_resolutions=(1, 2), used=used))
+    sc_tree = cc.to_jax(cc.convert_structcond(
+        sd_sc, prefix="", channel_mult=(1, 1), model_channels=32,
+        num_res_blocks=2, attention_resolutions=(1, 2), num_heads=4))
+
+    unet = InflatedUNetDualCond(UNetConfig(
+        model_channels=32, num_head_channels=16, context_dim=ctx_dim,
+        semb_channels=semb, channel_mult=(1, 2),
+        attention_resolutions=(1, 2), num_frames=t))
+    senc = StructCondEncoder(StructCondConfig(
+        model_channels=32, out_channels=semb, channel_mult=(1, 1),
+        attention_resolutions=(1, 2), num_heads=4, num_frames=t))
+
+    sched = DiffusionSchedule.create(n_steps, "linear", ls, le)
+    ctx_j = jnp.asarray(ctx)
+    z_lq_j = jnp.asarray(z_lq)
+
+    def denoise_fn(x, t_batch):
+        sc = senc.apply(sc_tree, z_lq_j, t_batch)
+        return unet.apply(unet_tree, x, t_batch, ctx_j, sc)
+
+    cfg = SamplerConfig(num_frames=t, guidance_scale=gscale,
+                        guidance_mode="reference", clip_denoised=False,
+                        temperature=0.0)
+    out = sample_video(
+        sched, denoise_fn, jnp.asarray(x_T), jax.random.PRNGKey(0), cfg,
+        flows=(jnp.asarray(ff), jnp.asarray(fb)),
+        masks=(jnp.asarray(occ_f), jnp.asarray(occ_b)))
+    np.testing.assert_allclose(
+        np.asarray(out.latents), nhwc(out_ref), atol=2e-3)
