@@ -1063,6 +1063,52 @@ def convert_edvr(sd: Mapping[str, Any], prefix: str = "",
     return {"params": out}
 
 
+def convert_swinir(sd: Mapping[str, Any], prefix: str = "",
+                   depths: Sequence[int] = (2, 2),
+                   upscale: int = 4,
+                   used: Optional[set] = None) -> Dict[str, Any]:
+    """SwinIR classical-SR 'pixelshuffle' flavor (swinir_arch.py).
+    relative_position_index / attn_mask buffers are recomputed by our
+    module and only marked consumed."""
+    g = SDGet(sd, prefix, used)
+    out: Dict[str, Any] = {
+        "conv_first": g.conv("conv_first"),
+        "norm_embed": g.norm("patch_embed.norm"),
+        "norm_body": g.norm("norm"),
+        "conv_after_body": g.conv("conv_after_body"),
+        "conv_before_upsample": g.conv("conv_before_upsample.0"),
+        "conv_last": g.conv("conv_last"),
+    }
+    for li, depth in enumerate(depths):
+        lay: Dict[str, Any] = {"conv": g.conv(f"layers.{li}.conv")}
+        for bi in range(depth):
+            b = g.scope(f"layers.{li}.residual_group.blocks.{bi}")
+            lay[f"block_{bi}"] = {
+                "norm1": b.norm("norm1"),
+                "norm2": b.norm("norm2"),
+                "attn": {
+                    "qkv": b.linear("attn.qkv"),
+                    "proj": b.linear("attn.proj"),
+                    "relative_position_bias_table": _np(
+                        b.raw("attn.relative_position_bias_table")),
+                },
+                "mlp_fc1": b.linear("mlp.fc1"),
+                "mlp_fc2": b.linear("mlp.fc2"),
+            }
+            for buf in ("attn.relative_position_index", "attn_mask"):
+                if buf in b:
+                    b.raw(buf)
+        out[f"layer_{li}"] = lay
+    idx = 0
+    up = upscale
+    while up > 1:
+        r = 3 if up % 3 == 0 else 2
+        out[f"upsample_conv_x{up}"] = g.conv(f"upsample.{idx}")
+        idx += 2
+        up //= r
+    return {"params": out}
+
+
 def convert_basicvsrpp(sd: Mapping[str, Any], prefix: str = "",
                        num_block: int = 7,
                        used: Optional[set] = None) -> Dict[str, Any]:
@@ -1087,6 +1133,100 @@ def convert_basicvsrpp(sd: Mapping[str, Any], prefix: str = "",
         }
         out[f"backbone_{name}"] = _conv_res_blocks(
             g.scope(f"backbone.{name}"), num_block)
+    return {"params": out}
+
+
+def _sg2_modconv(g: "SDGet") -> Dict[str, Any]:
+    return {
+        "weight": conv_kernel(_np(g.raw("weight"))[0]),  # [1,O,I,k,k]
+        "modulation": {
+            "weight": linear_kernel(g.raw("modulation.weight")),
+            "bias": _np(g.raw("modulation.bias")),
+        },
+    }
+
+
+def _sg2_styleconv(g: "SDGet") -> Dict[str, Any]:
+    return {
+        "modulated_conv": _sg2_modconv(g.scope("modulated_conv")),
+        "noise_weight": _np(g.raw("weight")).reshape(()),
+        "bias": _np(g.raw("activate.bias")),
+    }
+
+
+def _sg2_torgb(g: "SDGet") -> Dict[str, Any]:
+    return {
+        "modulated_conv": _sg2_modconv(g.scope("modulated_conv")),
+        "bias": _np(g.raw("bias")).reshape(-1),
+    }
+
+
+def convert_stylegan2(sd: Mapping[str, Any], prefix: str = "",
+                      out_size: int = 64, num_mlp: int = 8,
+                      used: Optional[set] = None) -> Dict[str, Any]:
+    """StyleGAN2 generator (stylegan2_arch.py:395-586). Returns
+    ``(params, noises)``-style dict: the stored per-layer noise buffers are
+    under key '_noises' (NHWC, pass as ``noises=`` for stored-noise
+    parity)."""
+    import math as _math
+
+    g = SDGet(sd, prefix, used)
+    out: Dict[str, Any] = {
+        "constant_input": _np(
+            g.raw("constant_input.weight")).transpose(0, 2, 3, 1),
+        "style_conv1": _sg2_styleconv(g.scope("style_conv1")),
+        "to_rgb1": _sg2_torgb(g.scope("to_rgb1")),
+    }
+    for i in range(num_mlp):
+        out[f"mlp_{i}"] = {
+            "weight": linear_kernel(g.raw(f"style_mlp.{i + 1}.weight")),
+            "bias": _np(g.raw(f"style_mlp.{i + 1}.bias")),
+        }
+    log_size = int(_math.log2(out_size))
+    num_layers = (log_size - 2) * 2 + 1
+    for j in range(2 * (log_size - 2)):
+        out[f"style_convs_{j}"] = _sg2_styleconv(g.scope(f"style_convs.{j}"))
+    for i in range(log_size - 2):
+        out[f"to_rgbs_{i}"] = _sg2_torgb(g.scope(f"to_rgbs.{i}"))
+    noises = [
+        _np(g.raw(f"noises.noise{i}")).transpose(0, 2, 3, 1)
+        for i in range(num_layers)
+    ]
+    return {"params": out, "_noises": noises}
+
+
+def convert_stylegan2_discriminator(
+        sd: Mapping[str, Any], prefix: str = "", in_size: int = 64,
+        used: Optional[set] = None) -> Dict[str, Any]:
+    """StyleGAN2 discriminator (stylegan2_arch.py:734-799)."""
+    import math as _math
+
+    g = SDGet(sd, prefix, used)
+
+    def convlayer(sub: "SDGet", conv_idx: int, bias: bool) -> Dict[str, Any]:
+        out = {"conv": {"weight": conv_kernel(
+            sub.raw(f"{conv_idx}.weight"))}}
+        if bias:
+            out["bias"] = _np(sub.raw(f"{conv_idx + 1}.bias"))
+        return out
+
+    log_size = int(_math.log2(in_size))
+    out: Dict[str, Any] = {
+        "conv_body_0": convlayer(g.scope("conv_body.0"), 0, True)}
+    for li in range(1, log_size - 1):
+        b = g.scope(f"conv_body.{li}")
+        out[f"conv_body_{li}"] = {
+            "conv1": convlayer(b.scope("conv1"), 0, True),
+            "conv2": convlayer(b.scope("conv2"), 1, True),
+            "skip": convlayer(b.scope("skip"), 1, False),
+        }
+    out["final_conv"] = convlayer(g.scope("final_conv"), 0, True)
+    out["final_linear_0"] = {
+        "weight": linear_kernel(g.raw("final_linear.0.weight")),
+        "bias": _np(g.raw("final_linear.0.bias"))}
+    out["final_linear_1"] = {
+        "weight": linear_kernel(g.raw("final_linear.1.weight")),
+        "bias": _np(g.raw("final_linear.1.bias"))}
     return {"params": out}
 
 

@@ -111,7 +111,7 @@ class SwinBlock(nn.Module):
         b, h, w, c = x.shape
         ws = self.window_size
         shift = self.shift_size if min(h, w) > ws else 0
-        ln = lambda nm: nn.LayerNorm(param_dtype=jnp.float32, name=nm)
+        ln = lambda nm: nn.LayerNorm(epsilon=1e-5, param_dtype=jnp.float32, name=nm)
 
         y = ln("norm1")(x)
         if shift:
@@ -175,11 +175,13 @@ class SwinIR(nn.Module):
         x = x - mean
         feat = nn.Conv(self.embed_dim, (3, 3), padding=1, name="conv_first",
                        param_dtype=jnp.float32)(x)
-        y = nn.LayerNorm(param_dtype=jnp.float32, name="norm_embed")(feat)
+        y = nn.LayerNorm(epsilon=1e-5, param_dtype=jnp.float32,
+                         name="norm_embed")(feat)
         for i, (d, nh) in enumerate(zip(self.depths, self.num_heads)):
             y = RSTB(self.embed_dim, d, nh, self.window_size,
                      name=f"layer_{i}")(y)
-        y = nn.LayerNorm(param_dtype=jnp.float32, name="norm_body")(y)
+        y = nn.LayerNorm(epsilon=1e-5, param_dtype=jnp.float32,
+                         name="norm_body")(y)
         y = nn.Conv(self.embed_dim, (3, 3), padding=1,
                     name="conv_after_body", param_dtype=jnp.float32)(y)
         feat = feat + y

@@ -176,15 +176,15 @@ def test_stylegan2():
         StyleGAN2Discriminator, StyleGAN2Generator,
     )
 
-    g = StyleGAN2Generator(out_size=16, style_dim=32, num_mlp=2,
-                           channel_base=8)
+    g = StyleGAN2Generator(out_size=16, num_style_feat=32, num_mlp=2,
+                           narrow=0.125)
     z = _rand(2, 32, seed=13)
-    p = g.init(jax.random.PRNGKey(0), z, jax.random.PRNGKey(1))
-    img = g.apply(p, z, jax.random.PRNGKey(2))
+    p = g.init(jax.random.PRNGKey(0), z, rng=jax.random.PRNGKey(1))
+    img = g.apply(p, z, rng=jax.random.PRNGKey(2))
     assert img.shape == (2, 16, 16, 3)
     assert np.isfinite(np.asarray(img)).all()
 
-    d = StyleGAN2Discriminator(in_size=16, channel_base=8)
+    d = StyleGAN2Discriminator(in_size=16, narrow=0.125)
     dp = d.init(jax.random.PRNGKey(0), img)
     logits = d.apply(dp, img)
     assert logits.shape == (2, 1)

@@ -175,3 +175,118 @@ def test_basicvsrpp_oracle():
     got = ours.apply(params, frames, ff, fb)
     np.testing.assert_allclose(
         np.asarray(got).transpose(0, 1, 4, 2, 3), want, atol=2e-3)
+
+
+def test_swinir_oracle():
+    from basicsr.archs.swinir_arch import SwinIR as RefSwin
+
+    from mgldvsr_tpu.models.heritage.swinir import SwinIR
+
+    with torch.no_grad():
+        ref = RefSwin(upscale=4, img_size=16, window_size=8,
+                      img_range=1.0, depths=[2, 2], embed_dim=24,
+                      num_heads=[2, 2], mlp_ratio=2,
+                      upsampler="pixelshuffle", resi_connection="1conv"
+                      ).eval()
+        x = torch.rand(1, 3, 16, 16)
+        want = ref(x).numpy()
+        sd = ref.state_dict()
+    used = set()
+    params = cc.convert_swinir(sd, depths=(2, 2), upscale=4, used=used)
+    leftovers = set(sd.keys()) - used
+    assert not leftovers, sorted(leftovers)[:8]
+    ours = SwinIR(upscale=4, embed_dim=24, depths=(2, 2), num_heads=(2, 2),
+                  window_size=8)
+    got = ours.apply(params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                               atol=5e-4)
+
+
+def _patch_ref_stylegan_ops():
+    """Install pure-torch implementations of the reference's CUDA-only
+    fused_bias_act / upfirdn2d extensions (the published native fallbacks)
+    so StyleGAN2 runs on CPU."""
+    import torch.nn.functional as tF
+
+    import basicsr.ops.fused_act.fused_act as fa
+    import basicsr.ops.upfirdn2d.upfirdn2d as uf
+
+    class _FusedExt:
+        @staticmethod
+        def fused_bias_act(input, bias, refer, act, grad, alpha, scale):
+            assert act == 3 and grad == 0
+            x = input
+            if bias.numel():
+                shape = [1, -1] + [1] * (x.ndim - 2)
+                x = x + bias.reshape(shape)
+            return tF.leaky_relu(x, alpha) * scale
+
+    class _UpFirDnExt:
+        @staticmethod
+        def upfirdn2d(input, kernel, up_x, up_y, down_x, down_y,
+                      pad_x0, pad_x1, pad_y0, pad_y1):
+            # input: [N*C, H, W, 1]; returns [N*C, out_h, out_w, 1]
+            _, in_h, in_w, minor = input.shape
+            kh, kw = kernel.shape
+            out = input.view(-1, in_h, 1, in_w, 1, minor)
+            out = tF.pad(out, [0, 0, 0, up_x - 1, 0, 0, 0, up_y - 1])
+            out = out.view(-1, in_h * up_y, in_w * up_x, minor)
+            out = tF.pad(out, [0, 0, max(pad_x0, 0), max(pad_x1, 0),
+                               max(pad_y0, 0), max(pad_y1, 0)])
+            out = out[:, max(-pad_y0, 0):out.shape[1] - max(-pad_y1, 0),
+                      max(-pad_x0, 0):out.shape[2] - max(-pad_x1, 0), :]
+            out = out.permute(0, 3, 1, 2).reshape(
+                -1, 1, out.shape[1], out.shape[2])
+            w = torch.flip(kernel, [0, 1]).view(1, 1, kh, kw)
+            out = tF.conv2d(out, w)
+            out = out.reshape(-1, minor, out.shape[2], out.shape[3])
+            out = out.permute(0, 2, 3, 1)
+            return out[:, ::down_y, ::down_x, :].contiguous()
+
+    fa.fused_act_ext = _FusedExt()
+    uf.upfirdn2d_ext = _UpFirDnExt()
+
+
+def test_stylegan2_generator_oracle():
+    _patch_ref_stylegan_ops()
+    from basicsr.archs.stylegan2_arch import StyleGAN2Generator as RefG
+
+    from mgldvsr_tpu.models.heritage.stylegan2 import StyleGAN2Generator
+
+    with torch.no_grad():
+        ref = RefG(out_size=32, num_style_feat=32, num_mlp=2,
+                   channel_multiplier=1, narrow=0.25).eval()
+        z = torch.randn(2, 32)
+        img, _ = ref([z], randomize_noise=False)  # stored noise buffers
+        want = img.numpy()
+        sd = ref.state_dict()
+
+    used = set()
+    conv = cc.convert_stylegan2(sd, out_size=32, num_mlp=2, used=used)
+    assert used == set(sd.keys()), sorted(set(sd.keys()) - used)[:8]
+    noises = [jnp.asarray(nz) for nz in conv.pop("_noises")]
+    ours = StyleGAN2Generator(out_size=32, num_style_feat=32, num_mlp=2,
+                              channel_multiplier=1, narrow=0.25)
+    got = ours.apply(conv, jnp.asarray(z.numpy()), noises=noises)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                               atol=5e-4)
+
+
+def test_stylegan2_discriminator_oracle():
+    _patch_ref_stylegan_ops()
+    from basicsr.archs.stylegan2_arch import StyleGAN2Discriminator as RefD
+
+    from mgldvsr_tpu.models.heritage.stylegan2 import StyleGAN2Discriminator
+
+    with torch.no_grad():
+        ref = RefD(out_size=32, channel_multiplier=1, narrow=0.25).eval()
+        x = torch.randn(4, 3, 32, 32)
+        want = ref(x).numpy()
+        sd = ref.state_dict()
+    used = set()
+    params = cc.convert_stylegan2_discriminator(sd, in_size=32, used=used)
+    assert used == set(sd.keys()), sorted(set(sd.keys()) - used)[:8]
+    ours = StyleGAN2Discriminator(in_size=32, channel_multiplier=1,
+                                  narrow=0.25)
+    got = ours.apply(params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-4)
