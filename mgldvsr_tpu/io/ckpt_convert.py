@@ -1136,6 +1136,156 @@ def convert_basicvsrpp(sd: Mapping[str, Any], prefix: str = "",
     return {"params": out}
 
 
+def _bn(g: "SDGet", key: str) -> Dict[str, np.ndarray]:
+    """torch BatchNorm (eval) -> frozen scale/bias/mean/var."""
+    return {
+        "scale": _np(g.raw(f"{key}.weight")),
+        "bias": _np(g.raw(f"{key}.bias")),
+        "mean": _np(g.raw(f"{key}.running_mean")),
+        "var": _np(g.raw(f"{key}.running_var")),
+    }
+
+
+def convert_toflow(sd: Mapping[str, Any], prefix: str = "",
+                   used: Optional[set] = None) -> Dict[str, Any]:
+    """TOFlow (tof_arch.py:96-172) incl. its BatchNorm SPyNetTOF tower.
+    num_batches_tracked and the mean/std buffers are consumed only."""
+    g = SDGet(sd, prefix, used)
+    out: Dict[str, Any] = {
+        f"conv_{i}": g.conv(f"conv_{i}") for i in (1, 2, 3, 4)}
+    spy: Dict[str, Any] = {}
+    for i in range(4):
+        b = g.scope(f"spynet.basic_module.{i}.basic_module")
+        mod: Dict[str, Any] = {}
+        for k in range(4):
+            mod[f"conv{k}"] = b.conv(f"{3 * k}")
+            mod[f"bn{k}"] = _bn(b, f"{3 * k + 1}")
+            if f"{3 * k + 1}.num_batches_tracked" in b:
+                b.raw(f"{3 * k + 1}.num_batches_tracked")
+        mod["conv4"] = b.conv("12")
+        spy[f"basic_module_{i}"] = mod
+    out["spynet"] = spy
+    for buf in ("mean", "std"):
+        if buf in g:
+            g.raw(buf)
+    return {"params": out}
+
+
+def convert_duf(sd: Mapping[str, Any], prefix: str = "",
+                num_layer: int = 52,
+                used: Optional[set] = None) -> Dict[str, Any]:
+    """DUF (duf_arch.py:181-276)."""
+    num_block = {16: 3, 28: 9, 52: 21}[num_layer]
+    g = SDGet(sd, prefix, used)
+
+    def unit(b: "SDGet") -> Dict[str, Any]:
+        out = {"bn0": _bn(b, "0"), "conv0": b.conv("2"),
+               "bn1": _bn(b, "3"), "conv1": b.conv("5")}
+        for k in ("0", "3"):
+            if f"{k}.num_batches_tracked" in b:
+                b.raw(f"{k}.num_batches_tracked")
+        return out
+
+    out: Dict[str, Any] = {
+        "conv3d1": g.conv("conv3d1"),
+        "bn3d2": _bn(g, "bn3d2"),
+        "conv3d2": g.conv("conv3d2"),
+        "conv3d_r1": g.conv("conv3d_r1"),
+        "conv3d_r2": g.conv("conv3d_r2"),
+        "conv3d_f1": g.conv("conv3d_f1"),
+        "conv3d_f2": g.conv("conv3d_f2"),
+    }
+    if "bn3d2.num_batches_tracked" in g:
+        g.raw("bn3d2.num_batches_tracked")
+    for i in range(num_block):
+        out[f"dense_{i}"] = unit(g.scope(f"dense_block1.dense_blocks.{i}"))
+    for i in range(3):
+        out[f"reduce_{i}"] = unit(
+            g.scope(f"dense_block2.temporal_reduce{i + 1}"))
+    return {"params": out}
+
+
+def convert_ridnet(sd: Mapping[str, Any], prefix: str = "",
+                   num_block: int = 4,
+                   used: Optional[set] = None) -> Dict[str, Any]:
+    """RIDNet (ridnet_arch.py:140-185). The MeanShift convs are
+    reconstructed as constants in our module; consumed only."""
+    g = SDGet(sd, prefix, used)
+    out: Dict[str, Any] = {"head": g.conv("head"), "tail": g.conv("tail")}
+    for ms in ("sub_mean", "add_mean"):
+        g.raw(f"{ms}.weight")
+        g.raw(f"{ms}.bias")
+    for i in range(num_block):
+        b = g.scope(f"body.{i}")
+        out[f"eam_{i}"] = {
+            "mr_d1_conv1": b.conv("merge.dilation1.0"),
+            "mr_d1_conv2": b.conv("merge.dilation1.2"),
+            "mr_d2_conv1": b.conv("merge.dilation2.0"),
+            "mr_d2_conv2": b.conv("merge.dilation2.2"),
+            "mr_agg": b.conv("merge.aggregation.0"),
+            "block1": {"conv1": b.conv("block1.conv1"),
+                       "conv2": b.conv("block1.conv2")},
+            "er_conv1": b.conv("block2.body.0"),
+            "er_conv2": b.conv("block2.body.2"),
+            "er_conv3": b.conv("block2.body.4"),
+            "ca_down": b.conv("ca.attention.1"),
+            "ca_up": b.conv("ca.attention.3"),
+        }
+    return {"params": out}
+
+
+def _ecb_rep(g: "SDGet", with_idt: bool) -> Dict[str, np.ndarray]:
+    """Fold the multi-branch training-form ECB into its deploy 3x3 conv
+    (ecbsr_arch.py rep_params) — exactly what the reference's eval forward
+    computes."""
+    w = _np(g.raw("conv3x3.weight")).copy()
+    b = _np(g.raw("conv3x3.bias")).copy()
+    k0 = _np(g.raw("conv1x1_3x3.k0"))[:, :, 0, 0]  # [M, In]
+    b0 = _np(g.raw("conv1x1_3x3.b0"))
+    k1 = _np(g.raw("conv1x1_3x3.k1"))  # [O, M, 3, 3]
+    b1 = _np(g.raw("conv1x1_3x3.b1"))
+    w += np.einsum("omhw,mi->oihw", k1, k0)
+    b += b1 + np.einsum("m,omhw->o", b0, k1)
+    for name in ("sbx", "sby", "lpl"):
+        s = g.scope(f"conv1x1_{name}")
+        ek0 = _np(s.raw("k0"))[:, :, 0, 0]  # [O, In]
+        eb0 = _np(s.raw("b0"))
+        scale = _np(s.raw("scale"))
+        bias = _np(s.raw("bias"))
+        mask = _np(s.raw("mask"))
+        tmp = (scale * mask)[:, 0]  # [O, 3, 3]
+        w += np.einsum("ohw,oi->oihw", tmp, ek0)
+        b += bias + eb0 * tmp.sum(axis=(1, 2))
+    if with_idt and w.shape[0] == w.shape[1]:
+        for o in range(w.shape[0]):
+            w[o, o, 1, 1] += 1.0
+    return {"kernel": conv_kernel(w), "bias": b}
+
+
+def convert_ecbsr(sd: Mapping[str, Any], prefix: str = "",
+                  num_block: int = 4, with_idt: bool = False,
+                  used: Optional[set] = None) -> Dict[str, Any]:
+    """ECBSR training checkpoint -> our deploy-form module: each ECB's five
+    branches are folded to one 3x3 conv (+ PReLU alpha)."""
+    g = SDGet(sd, prefix, used)
+    out: Dict[str, Any] = {}
+
+    def block(idx: int, name: str, act: bool):
+        sub = g.scope(f"backbone.{idx}")
+        rep = _ecb_rep(sub, with_idt)
+        if act:
+            out[name] = {"conv": rep,
+                         "prelu_alpha": _np(sub.raw("act.weight"))}
+        else:
+            out[name] = rep
+
+    block(0, "ecb_in", True)
+    for i in range(num_block):
+        block(i + 1, f"ecb_{i}", True)
+    block(num_block + 1, "conv_out", False)
+    return {"params": out}
+
+
 def _sg2_modconv(g: "SDGet") -> Dict[str, Any]:
     return {
         "weight": conv_kernel(_np(g.raw("weight"))[0]),  # [1,O,I,k,k]

@@ -149,15 +149,14 @@ def test_misc_archs():
     y = m.apply(m.init(jax.random.PRNGKey(0), x), x)
     assert y.shape == (1, 32, 32, 3)
 
-    frames = _rand(1, 7, 8, 8, 3, seed=11)
-    flows = jnp.zeros((1, 7, 8, 8, 2))
+    frames = _rand(1, 7, 32, 32, 3, seed=11)
     m = TOFlow()
-    y = m.apply(m.init(jax.random.PRNGKey(0), frames, flows), frames, flows)
-    assert y.shape == (1, 8, 8, 3)
+    y = m.apply(m.init(jax.random.PRNGKey(0), frames), frames)
+    assert y.shape == (1, 32, 32, 3)
 
-    frames5 = _rand(1, 5, 8, 8, 3, seed=12)
-    m = DUF(scale=4, num_feat=8)
-    y = m.apply(m.init(jax.random.PRNGKey(0), frames5), frames5)
+    frames7 = _rand(1, 7, 8, 8, 3, seed=12)
+    m = DUF(scale=4, num_layer=16)
+    y = m.apply(m.init(jax.random.PRNGKey(0), frames7), frames7)
     assert y.shape == (1, 32, 32, 3)
 
     m = ECBSR(num_feat=8, num_block=2)

@@ -290,3 +290,108 @@ def test_stylegan2_discriminator_oracle():
                                   narrow=0.25)
     got = ours.apply(params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(got), want, atol=5e-4)
+
+
+def test_toflow_oracle():
+    from basicsr.archs.tof_arch import TOFlow as RefTOF
+
+    from mgldvsr_tpu.models.heritage.misc_archs import TOFlow
+
+    with torch.no_grad():
+        ref = RefTOF(adapt_official_weights=False).eval()
+        # randomize BN stats too so the frozen-BN fold is non-trivial
+        sd = ref.state_dict()
+        rs = np.random.RandomState(7)
+        for k, v in sd.items():
+            if k.endswith("num_batches_tracked") or k in ("mean", "std"):
+                continue
+            arr = rs.standard_normal(tuple(v.shape)) * 0.1
+            if "running_var" in k:
+                arr = np.abs(arr) + 0.5
+            sd[k] = torch.from_numpy(arr.astype(np.float32))
+        ref.load_state_dict(sd)
+        x = torch.rand(1, 7, 3, 32, 32)
+        want = ref(x).numpy()
+    used = set()
+    params = cc.convert_toflow(sd, used=used)
+    assert used == set(sd.keys()), sorted(set(sd.keys()) - used)[:8]
+    ours = TOFlow(adapt_official_weights=False)
+    got = ours.apply(params, jnp.asarray(x.numpy().transpose(0, 1, 3, 4, 2)))
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                               atol=5e-4)
+
+
+def test_duf_oracle():
+    from basicsr.archs.duf_arch import DUF as RefDUF
+
+    from mgldvsr_tpu.models.heritage.misc_archs import DUF
+
+    with torch.no_grad():
+        ref = RefDUF(scale=4, num_layer=16).eval()
+        sd = ref.state_dict()
+        rs = np.random.RandomState(8)
+        for k, v in sd.items():
+            if k.endswith("num_batches_tracked"):
+                continue
+            arr = rs.standard_normal(tuple(v.shape)) * 0.1
+            if "running_var" in k:
+                arr = np.abs(arr) + 0.5
+            sd[k] = torch.from_numpy(arr.astype(np.float32))
+        ref.load_state_dict(sd)
+        x = torch.rand(1, 7, 3, 16, 16)
+        want = ref(x).numpy()
+    used = set()
+    params = cc.convert_duf(sd, num_layer=16, used=used)
+    assert used == set(sd.keys()), sorted(set(sd.keys()) - used)[:8]
+    ours = DUF(scale=4, num_layer=16)
+    got = ours.apply(params, jnp.asarray(x.numpy().transpose(0, 1, 3, 4, 2)))
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                               atol=5e-4)
+
+
+def test_ridnet_oracle():
+    from basicsr.archs.ridnet_arch import RIDNet as RefRID
+
+    from mgldvsr_tpu.models.heritage.misc_archs import RIDNet
+
+    with torch.no_grad():
+        ref = RefRID(in_channels=3, mid_channels=16, out_channels=3,
+                     num_block=2).eval()
+        x = torch.rand(1, 3, 16, 16)
+        want = ref(x).numpy()
+        sd = ref.state_dict()
+    used = set()
+    params = cc.convert_ridnet(sd, num_block=2, used=used)
+    assert used == set(sd.keys()), sorted(set(sd.keys()) - used)[:8]
+    ours = RIDNet(num_feat=16, num_block=2)
+    got = ours.apply(params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                               atol=5e-4)
+
+
+def test_ecbsr_oracle():
+    """Training-form reference ECBSR in eval (which itself uses the folded
+    rep_params) vs our deploy module through the rep-folding converter."""
+    from basicsr.archs.ecbsr_arch import ECBSR as RefECB
+
+    from mgldvsr_tpu.models.heritage.misc_archs import ECBSR
+
+    for with_idt in (False, True):
+        with torch.no_grad():
+            ref = RefECB(num_in_ch=3, num_out_ch=3, num_block=2,
+                         num_channel=8, with_idt=with_idt,
+                         act_type="prelu", scale=4).eval()
+            x = torch.rand(1, 3, 16, 16)
+            want = ref(x).numpy()
+            sd = ref.state_dict()
+        used = set()
+        params = cc.convert_ecbsr(sd, num_block=2, with_idt=with_idt,
+                                  used=used)
+        leftovers = {k for k in (set(sd.keys()) - used) if "mask" not in k}
+        assert not leftovers, sorted(leftovers)[:8]
+        ours = ECBSR(num_feat=8, num_block=2, upscale=4)
+        got = ours.apply(params,
+                         jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(
+            np.asarray(got).transpose(0, 3, 1, 2), want, atol=5e-4,
+            err_msg=f"with_idt={with_idt}")
