@@ -38,6 +38,11 @@ def main():
     ap.add_argument("--iters", type=int, default=3, help="timed repetitions")
     ap.add_argument("--baseline-fps", type=float, default=0.25)
     ap.add_argument("--no-guidance", action="store_true")
+    ap.add_argument("--pch-size", type=int, default=960,
+                    help="tile mode: pixel patch size (the reference's "
+                         "vqgantile_size; 960 default — smaller values "
+                         "trade protocol fidelity for compile size)")
+    ap.add_argument("--pch-stride", type=int, default=750)
     ap.add_argument("--mode", choices=["segment", "tile", "train"],
                     default="segment",
                     help="segment: fixed 512px window (the headline metric);"
@@ -172,16 +177,21 @@ def main():
         # patches, canvas restore per patch, overlap-average gather
         lh, lw = (24, 40) if args.tiny else (180, 320)
         lq = jax.random.uniform(jax.random.PRNGKey(1), (t, lh, lw, 3))
+        tile_kw = dict(use_guidance=not args.no_guidance,
+                       pch_size=args.pch_size, pch_stride=args.pch_stride)
+        if args.tiny:  # keep the working size tiny (default min_side=512)
+            tile_kw.update(min_side=lh * 4, pch_size=min(args.pch_size, 64),
+                           pch_stride=min(args.pch_stride, 48))
         t0 = time.perf_counter()
         out = pipe.restore_video(params, lq, jax.random.PRNGKey(2),
-                                 use_guidance=not args.no_guidance)
+                                 **tile_kw)
         first = time.perf_counter() - t0
         assert np.isfinite(out[0, 0, 0]).all()
         times = []
         for i in range(args.iters):
             t0 = time.perf_counter()
             pipe.restore_video(params, lq, jax.random.PRNGKey(3 + i),
-                               use_guidance=not args.no_guidance)
+                               **tile_kw)
             times.append(time.perf_counter() - t0)
         best = min(times)
         fps = t / best

@@ -15,7 +15,7 @@ channels-last layout.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -367,6 +367,7 @@ class MGLDVSRPipeline:
         min_side: int = 512,
         dec_w: Optional[float] = None,
         use_guidance: bool = True,
+        patch_devices: Optional[Sequence] = None,
     ):
         """Full arbitrary-resolution protocol (oldcanvas_tile script):
         bicubic pre-upscale by sf (and further so min side >= min_side),
@@ -393,13 +394,18 @@ class MGLDVSRPipeline:
         frames = jnp.clip(frames, 0.0, 1.0)
 
         spliter = ImageSpliter(frames.shape, pch_size, pch_stride)
-        outs = []
-        for i, (patch, _) in enumerate(spliter.split(frames)):
-            k = jax.random.fold_in(rng, i)
-            out = self.restore_segment_canvas(
-                params, patch, k, dec_w=dec_w, use_guidance=use_guidance
-            )
-            outs.append(np.asarray(out))
+        patches = [patch for patch, _ in spliter.split(frames)]
+        keys = [jax.random.fold_in(rng, i) for i in range(len(patches))]
+        devices = list(patch_devices) if patch_devices else []
+        if len(devices) > 1 and len(patches) > 1:
+            outs = self._restore_patches_sharded(
+                params, patches, keys, devices, dec_w, use_guidance)
+        else:
+            outs = [
+                np.asarray(self.restore_segment_canvas(
+                    params, patch, k, dec_w=dec_w, use_guidance=use_guidance))
+                for patch, k in zip(patches, keys)
+            ]
         full = spliter.gather(outs)
         full = full[:, : work_h, : work_w, :]
         if (work_h, work_w) != (target_h, target_w):
@@ -407,6 +413,44 @@ class MGLDVSRPipeline:
                 resize2d(jnp.asarray(full), (target_h, target_w), method="bicubic")
             )
         return np.clip(full, 0.0, 1.0)
+
+
+    def _restore_patches_sharded(self, params, patches, keys, devices,
+                                 dec_w, use_guidance):
+        """Canvas patches are independent programs — distribute them over
+        local devices with ``shard_map`` over a ('patch',) mesh; each
+        device walks its shard sequentially under ``lax.map`` (one traced
+        body, single-patch memory footprint per device). Per-patch keys
+        are identical to the sequential path, so outputs are identical.
+
+        Beyond-reference scaling: the reference's tile script
+        (oldcanvas_tile.py) is strictly sequential per GPU."""
+        import numpy as np
+
+        from jax.sharding import Mesh, PartitionSpec
+        from jax import shard_map
+
+        n_dev = len(devices)
+        n_pch = len(patches)
+        pad = (-n_pch) % n_dev
+        stack = jnp.stack(patches + [patches[0]] * pad)
+        kstack = jnp.stack(keys + [keys[0]] * pad)
+        mesh = Mesh(np.array(devices), ("patch",))
+
+        def one(args):
+            patch, k = args
+            return self.restore_segment_canvas(
+                params, patch, k, dec_w=dec_w, use_guidance=use_guidance)
+
+        def local(stack_l, keys_l):
+            return jax.lax.map(one, (stack_l, keys_l))
+
+        fn = shard_map(
+            local, mesh=mesh,
+            in_specs=(PartitionSpec("patch"), PartitionSpec("patch")),
+            out_specs=PartitionSpec("patch"), check_vma=False)
+        out = jax.jit(fn)(stack, kstack)
+        return [np.asarray(out[i]) for i in range(n_pch)]
 
 
 def _synthesize_leaves(shapes, rng: jax.Array):

@@ -23,7 +23,7 @@ from typing import Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from mgldvsr_tpu.core.diffusion import (
     SamplerConfig,
@@ -125,7 +125,7 @@ def sample_video_sharded(
         in_specs=(spec_x, spec_w, spec_w, spec_w, spec_w, spec_w, spec_w,
                   P()),
         out_specs=spec_x,
-        check_rep=False,
+        check_vma=False,
     )
     return fn(
         x_T,
