@@ -88,6 +88,13 @@ def group_norm(num_groups: int = 32, eps: float = 1e-5,
     # fp32 compute: flax's exact two-pass GroupNorm (bit-stable goldens).
     # Low precision: the bandwidth-lean fast-variance version above — stats
     # still accumulate fp32, but nothing fp32 ever hits HBM.
+    # MGLD_GN_FP32=1 forces the fp32 path everywhere: the quality A/B knob
+    # for when real checkpoints arrive (ADVICE round-1: validate the bf16
+    # GN numerics against LPIPS/E*warp before trusting the fast default).
+    import os
+
+    if os.environ.get("MGLD_GN_FP32") == "1":
+        dtype = jnp.float32
     if dtype == jnp.float32:
         return nn.GroupNorm(num_groups=num_groups, epsilon=eps, dtype=dtype,
                             param_dtype=jnp.float32, name=name)
