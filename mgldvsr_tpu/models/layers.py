@@ -152,8 +152,54 @@ def norm_silu_conv3x3(x, out_channels: int, dtype: Dtype, conv_name: str,
                    name=conv_name)(h)
 
 
+def int8_conv_enabled() -> bool:
+    """MGLD_INT8_CONV=1: dynamic-quantized int8 3x3 convs (experiment;
+    quality-gated until real weights exist to validate on LPIPS/E*warp)."""
+    import os
+
+    return os.environ.get("MGLD_INT8_CONV") == "1"
+
+
+class Int8Conv3x3(nn.Module):
+    """Drop-in conv3x3 with int8 MXU compute: per-tensor dynamic activation
+    scale + per-output-channel weight scale, int8xint8->int32 accumulate,
+    fp dequant + bias. Param tree identical to nn.Conv (kernel fp32), so
+    converted checkpoints load unchanged. v5e int8 peak is 2x bf16; the
+    extra costs are one max-reduction over x and the quantize round."""
+
+    features: int
+    zero_init: bool = False
+    strides: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        init = (nn.initializers.zeros if self.zero_init
+                else nn.initializers.lecun_normal())
+        k = self.param("kernel", init, (3, 3, cin, self.features),
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        sx = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32),
+                         1e-6) / 127.0
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
+                      -127, 127).astype(jnp.int8)
+        sw = jnp.maximum(jnp.max(jnp.abs(k), axis=(0, 1, 2)),
+                         1e-12) / 127.0
+        kq = jnp.clip(jnp.round(k / sw), -127, 127).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            xq, kq, (self.strides, self.strides), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * (sx * sw) + b
+        return y.astype(self.dtype)
+
+
 def conv3x3(features: int, dtype: Dtype = jnp.float32, zero_init: bool = False,
             name: str | None = None, strides: int = 1):
+    if int8_conv_enabled():
+        return Int8Conv3x3(features, zero_init, strides, dtype, name=name)
     init = nn.initializers.zeros if zero_init else nn.initializers.lecun_normal()
     return nn.Conv(features, (3, 3), strides=(strides, strides), padding=1,
                    kernel_init=init, dtype=dtype, param_dtype=jnp.float32, name=name)
