@@ -93,32 +93,56 @@ def make_tiled_denoise_fn(
 
         return simple_fn
 
+    # One UNet instance in the compiled program regardless of tile count:
+    # lax.scan over tile chunks (the old unrolled chunk loop instantiated
+    # the UNet once PER chunk — at 960px patches, 3 copies per sampling
+    # step, which blew up compile memory). Chunks are padded to a full
+    # batch with zero-weight dummy tiles.
+    n_tiles = len(tiles)
+    bt_sz = min(batch_tiles, n_tiles)
+    n_pad = (-n_tiles) % bt_sz
+    offs = np.asarray(list(tiles) + [(0, 0)] * n_pad, dtype=np.int32)
+    mask = np.asarray([1.0] * n_tiles + [0.0] * n_pad, dtype=np.float32)
+    n_chunks = offs.shape[0] // bt_sz
+    offs_c = jnp.asarray(offs.reshape(n_chunks, bt_sz, 2))
+    mask_c = jnp.asarray(mask.reshape(n_chunks, bt_sz))
+
     def fn(x, t_orig):
-        acc = jnp.zeros_like(x)
-        wacc = jnp.zeros((1, H, W, 1), dtype=x.dtype)
-        for chunk_start in range(0, len(tiles), batch_tiles):
-            chunk = tiles[chunk_start : chunk_start + batch_tiles]
+        acc0 = jnp.zeros_like(x)
+        wacc0 = jnp.zeros((1, H, W, 1), dtype=x.dtype)
+
+        def body(carry, chunk):
+            acc, wacc = carry
+            oo, mm = chunk  # [bt_sz, 2], [bt_sz]
             xs = jnp.concatenate(
-                [x[:, oy : oy + tile_h, ox : ox + tile_w, :]
-                 for oy, ox in chunk], 0
-            )
+                [jax.lax.dynamic_slice(
+                    x, (0, oo[i, 0], oo[i, 1], 0), (bt, tile_h, tile_w, C))
+                 for i in range(bt_sz)], 0)
             ss = jnp.concatenate(
-                [
-                    struct_latent[:, oy : oy + tile_h, ox : ox + tile_w, :]
-                    for oy, ox in chunk
-                ],
-                0,
-            )
-            tt = jnp.tile(t_orig, (len(chunk),))
-            ctx = jnp.tile(context, (len(chunk), 1, 1))
+                [jax.lax.dynamic_slice(
+                    struct_latent, (0, oo[i, 0], oo[i, 1], 0),
+                    (bt, tile_h, tile_w, C))
+                 for i in range(bt_sz)], 0)
+            tt = jnp.tile(t_orig, (bt_sz,))
+            ctx = jnp.tile(context, (bt_sz, 1, 1))
             s_cond = structcond_apply(ss, tt)
             eps = unet_apply(xs, tt, ctx, s_cond)
-            for i, (oy, ox) in enumerate(chunk):
-                e = eps[i * bt : (i + 1) * bt]
-                acc = acc.at[:, oy : oy + tile_h, ox : ox + tile_w, :].add(
-                    e * w2d)
-                wacc = wacc.at[:, oy : oy + tile_h, ox : ox + tile_w, :].add(
-                    w2d)
+            for i in range(bt_sz):
+                e = eps[i * bt: (i + 1) * bt] * w2d * mm[i]
+                cur = jax.lax.dynamic_slice(
+                    acc, (0, oo[i, 0], oo[i, 1], 0),
+                    (acc.shape[0], tile_h, tile_w, C))
+                acc = jax.lax.dynamic_update_slice(
+                    acc, cur + e.astype(acc.dtype),
+                    (0, oo[i, 0], oo[i, 1], 0))
+                wcur = jax.lax.dynamic_slice(
+                    wacc, (0, oo[i, 0], oo[i, 1], 0), (1, tile_h, tile_w, 1))
+                wacc = jax.lax.dynamic_update_slice(
+                    wacc, wcur + (w2d * mm[i]).astype(wacc.dtype),
+                    (0, oo[i, 0], oo[i, 1], 0))
+            return (acc, wacc), None
+
+        (acc, wacc), _ = jax.lax.scan(body, (acc0, wacc0), (offs_c, mask_c))
         return acc / wacc
 
     return fn
