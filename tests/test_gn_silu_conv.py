@@ -126,3 +126,28 @@ def test_module_param_tree_and_output_equivalence(monkeypatch):
     assert k0 == k1, (sorted(k0 - k1), sorted(k1 - k0))
     out1 = mod.apply(p0, x, emb, s)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out0), atol=2e-4)
+
+
+def test_int8_conv_approximates_fp(monkeypatch):
+    """MGLD_INT8_CONV quantized conv tracks the fp conv within dynamic-range
+    quantization error (sanity for the perf experiment)."""
+    import os
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("MGLD_INT8_CONV", "1")
+    from mgldvsr_tpu.models.layers import Int8Conv3x3, conv3x3
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 32))
+    q = Int8Conv3x3(64)
+    p = q.init(jax.random.PRNGKey(1), x)
+    yq = q.apply(p, x)
+
+    monkeypatch.delenv("MGLD_INT8_CONV")
+    f = conv3x3(64)
+    yf = f.apply({"params": dict(p["params"])}, x)
+    err = np.abs(np.asarray(yq - yf))
+    ref = np.abs(np.asarray(yf)).max()
+    assert err.max() < 0.05 * ref, (err.max(), ref)
