@@ -45,20 +45,29 @@ class PackedBackend:
     ``<root>.index.json`` mapping key -> [offset, length])."""
 
     def __init__(self, root: str):
+        import os
+
         with open(root + ".index.json") as f:
             self._index: Dict[str, list] = json.load(f)
-        self._file = open(root + ".data", "rb")
+        # raw fd + positioned reads: pread is atomic per call, so the
+        # prefetch threads can read concurrently with no seek races and no
+        # lock (a shared file object's seek+read interleaves across
+        # threads and returns corrupt records)
+        self._fd = os.open(root + ".data", os.O_RDONLY)
 
     def get(self, key: str) -> bytes:
+        import os
+
         off, length = self._index[key]
-        self._file.seek(off)
-        return self._file.read(length)
+        return os.pread(self._fd, length, off)
 
     def keys(self):
         return self._index.keys()
 
     def close(self):
-        self._file.close()
+        import os
+
+        os.close(self._fd)
 
 
 class PackedMaker:
