@@ -121,6 +121,10 @@ def main(argv=None):
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--shard", type=int, default=0)
     ap.add_argument("--num-shards", type=int, default=1)
+    ap.add_argument("--patch-parallel", action="store_true",
+                    help="tile mode: distribute canvas patches over all "
+                         "local devices (shard_map; outputs identical to "
+                         "sequential)")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--no-bf16", dest="bf16", action="store_false")
@@ -159,8 +163,10 @@ def main(argv=None):
             os.makedirs(outdir, exist_ok=True)
             key = jax.random.fold_in(rng, hash((clip, names[0])) % 2**31)
             if args.mode == "tile":
-                out = pipe.restore_video(params, frames, key,
-                                         dec_w=args.dec_w)
+                out = pipe.restore_video(
+                    params, frames, key, dec_w=args.dec_w,
+                    patch_devices=(jax.devices()
+                                   if args.patch_parallel else None))
                 latents = None
             else:
                 up = upscale_frames(frames, pipe.cfg.sf)
