@@ -38,8 +38,8 @@ def attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
         and jax.default_backend() == "tpu"
         and n == m
         and n >= 1024
-        and n % 256 == 0
     ):
+        # non-multiple-of-128 N is padded + key-masked inside the kernel
         from mgldvsr_tpu.ops.pallas.attention import (
             pick_block_q,
             resident_attention,

@@ -24,8 +24,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    """q_ref/o_ref: [1, bq, d]; k_ref/v_ref: [1, n, d]."""
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                 n_valid: int):
+    """q_ref/o_ref: [1, bq, d]; k_ref/v_ref: [1, n, d]. Keys at index
+    >= n_valid are padding and masked out (static mask — the padded
+    length is a trace-time constant)."""
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
@@ -33,6 +36,9 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale  # [bq, n] fp32, VMEM-only
+    if n_valid < k.shape[0]:
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < n_valid, logits, -1e30)
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
     s = jnp.sum(p, axis=-1, keepdims=True)
@@ -45,20 +51,34 @@ def pick_block_q(n: int, d: int, itemsize: int,
                  budget: int = 10 * 1024 * 1024) -> int:
     """Largest block_q (multiple of 128, <= 512) whose VMEM footprint —
     two [bq, n] fp32 row-panels (logits + exp) plus resident K/V — fits
-    the budget. Returns 0 if even bq=128 cannot fit (caller falls back)."""
-    kv = 2 * n * d * itemsize
+    the budget, computed at the 128-padded length (non-multiple N is
+    padded + key-masked). Returns 0 if even bq=128 cannot fit (caller
+    falls back)."""
+    np_ = (n + 127) // 128 * 128
+    kv = 2 * np_ * d * itemsize
     for bq in (512, 256, 128):
-        if n % bq == 0 and 2 * bq * n * 4 + kv <= budget:
+        if np_ % bq == 0 and 2 * bq * np_ * 4 + kv <= budget:
             return bq
     return 0
 
 
 def _attend_resident(q, k, v, block_q: int, interpret: bool):
     bh, n, d = q.shape
+    np_ = (n + 127) // 128 * 128
+    if np_ != n:
+        pad = ((0, 0), (0, np_ - n), (0, 0))
+        out = _attend_padded(jnp.pad(q, pad), jnp.pad(k, pad),
+                             jnp.pad(v, pad), block_q, interpret, n)
+        return out[:, :n]
+    return _attend_padded(q, k, v, block_q, interpret, n)
+
+
+def _attend_padded(q, k, v, block_q, interpret, n_valid):
+    bh, n, d = q.shape
     scale = d ** -0.5
     bq = block_q if n % block_q == 0 else n
     return pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale),
+        functools.partial(_attn_kernel, scale=scale, n_valid=n_valid),
         grid=(bh, n // bq),
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),

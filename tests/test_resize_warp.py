@@ -153,3 +153,26 @@ def test_phase_decomposed_upsample_matches_repeat_conv():
     assert got.shape == want.shape == (2, 10, 14, 8)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_resident_attention_padded_n():
+    """Non-multiple-of-128 sequence lengths pad + key-mask inside the
+    kernel and match the fp32-softmax reference exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from mgldvsr_tpu.ops.pallas.attention import (
+        _reference,
+        pick_block_q,
+        resident_attention,
+    )
+
+    for n in (1100, 2000):
+        q = jax.random.normal(jax.random.PRNGKey(0), (2, n, 64))
+        k = jax.random.normal(jax.random.PRNGKey(1), (2, n, 64))
+        v = jax.random.normal(jax.random.PRNGKey(2), (2, n, 64))
+        bq = pick_block_q(n, 64, 4)
+        assert bq > 0
+        out = resident_attention(q, k, v, bq, interpret=True)
+        ref = _reference(q, k, v)
+        assert float(jnp.abs(out - ref).max()) < 1e-5
