@@ -79,8 +79,27 @@ class RealVSRRecurrentDataset:
         degradation_2: Optional[Dict] = None,
         usm_gt: bool = True,
         seed: int = 0,
+        packed_root: Optional[str] = None,
+        io_threads: int = 4,
     ):
         self.root = dataroot_gt
+        # packed-record read path: record keys are f"{clip}/{frame:08d}.png"
+        # (pack_image_dir layout); decode+crop+flip runs in the native C++
+        # worker pool when available, else PackedBackend + cv2
+        self.packed = None
+        self.packed_py = None
+        if packed_root is not None:
+            from mgldvsr_tpu.native import native_available
+
+            if native_available():
+                from mgldvsr_tpu.native.loader import NativeClipLoader
+
+                self.packed = NativeClipLoader(packed_root,
+                                               num_threads=io_threads)
+            else:  # pragma: no cover - exercised only without a toolchain
+                from mgldvsr_tpu.data.file_client import PackedBackend
+
+                self.packed_py = PackedBackend(packed_root)
         self.num_frame = num_frame
         self.gt_size = gt_size
         self.interval_list = list(interval_list)
@@ -128,11 +147,59 @@ class RealVSRRecurrentDataset:
         span = (self.num_frame - 1) * interval
         start = rng.randint(0, max(n_frames - span, 1))
         idxs = [start + i * interval for i in range(self.num_frame)]
-        gts = [
-            _imread(os.path.join(self.root, clip, f"{i:08d}.png")) for i in idxs
-        ]
-        gts = paired_random_crop(gts, self.gt_size, rng)
-        gts = augment(gts, self.use_hflip, self.use_rot, rng)
+        if self.packed is not None or self.packed_py is not None:
+            # same RNG draw order as the disk path (crop top/left, then the
+            # three augment coins) so a given (seed, index) yields the same
+            # sample regardless of backend
+            keys = [f"{clip}/{i:08d}.png" for i in idxs]
+            if self.packed is not None:
+                h, w = self.packed.probe(keys[0])
+            else:
+                from mgldvsr_tpu.data.file_client import imfrombytes
+
+                first = imfrombytes(self.packed_py.get(keys[0]))
+                h, w = first.shape[:2]
+            size = self.gt_size
+            if h < size or w < size:
+                raise ValueError(f"clip {h}x{w} smaller than crop {size}")
+            top = rng.randint(0, h - size + 1)
+            left = rng.randint(0, w - size + 1)
+            do_h = self.use_hflip and rng.uniform() < 0.5
+            do_v = self.use_rot and rng.uniform() < 0.5
+            do_t = self.use_rot and rng.uniform() < 0.5
+            if self.packed is not None:
+                clip_arr = self.packed.load_clip(
+                    keys, top, left, size, size,
+                    hflip=do_h, vflip=do_v, transpose=do_t)
+                gts = list(clip_arr)
+            else:
+                from mgldvsr_tpu.data.file_client import imfrombytes
+
+                gts = [first] + [
+                    imfrombytes(self.packed_py.get(k)) for k in keys[1:]
+                ]
+                gts = [
+                    g[top : top + size, left : left + size].astype(np.float32)
+                    / 255.0
+                    for g in gts
+                ]
+                out = []
+                for f in gts:
+                    if do_h:
+                        f = f[:, ::-1]
+                    if do_v:
+                        f = f[::-1]
+                    if do_t:
+                        f = f.transpose(1, 0, 2)
+                    out.append(np.ascontiguousarray(f))
+                gts = out
+        else:
+            gts = [
+                _imread(os.path.join(self.root, clip, f"{i:08d}.png"))
+                for i in idxs
+            ]
+            gts = paired_random_crop(gts, self.gt_size, rng)
+            gts = augment(gts, self.use_hflip, self.use_rot, rng)
 
         results = {"gts": gts, "lqs": [g.copy() for g in gts]}
         if self.usm is not None:
