@@ -56,6 +56,28 @@ def build_pipeline(args):
             raft=RAFTConfig(iters=2),
         )
         return MGLDVSRPipeline(cfg)
+    if getattr(args, "model_cfg", None):
+        import dataclasses
+
+        from mgldvsr_tpu.utils.config import pipeline_config_from_dict
+
+        cfg = pipeline_config_from_dict(args.model_cfg)
+        # CLI-resolved knobs (whose argparse defaults already absorbed the
+        # config values) win over the raw model subtree
+        cfg = dataclasses.replace(
+            cfg, ddpm_steps=args.ddpm_steps, guidance_scale=args.guidance,
+            dec_w=args.dec_w, colorfix=args.colorfix)
+        if not args.bf16:  # explicit --no-bf16 forces fp32 everywhere
+            import jax.numpy as jnp_
+
+            cfg = dataclasses.replace(
+                cfg,
+                unet=dataclasses.replace(cfg.unet, dtype=jnp_.float32),
+                structcond=dataclasses.replace(cfg.structcond,
+                                               dtype=jnp_.float32),
+                vae=dataclasses.replace(cfg.vae, dtype=jnp_.float32),
+                clip=dataclasses.replace(cfg.clip, dtype=jnp_.float32))
+        return MGLDVSRPipeline(cfg)
     cfg = PipelineConfig(
         ddpm_steps=args.ddpm_steps,
         guidance_scale=args.guidance,
@@ -104,7 +126,20 @@ def load_or_init_params(pipe, args):
 
 
 def main(argv=None):
-    ap = argparse.ArgumentParser(description=__doc__)
+    # config files + dotlist overrides (see configs/infer_mgldvsr.yaml);
+    # config values become argparse defaults, explicit CLI flags win
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--config", action="append", default=[])
+    pre.add_argument("--set", dest="overrides", action="append", default=[],
+                     metavar="KEY.PATH=VALUE")
+    pre_args, _ = pre.parse_known_args(argv)
+    cfg = {}
+    if pre_args.config or pre_args.overrides:
+        from mgldvsr_tpu.utils.config import load_config
+
+        cfg = load_config(pre_args.config, pre_args.overrides)
+
+    ap = argparse.ArgumentParser(description=__doc__, parents=[pre])
     ap.add_argument("--seqs-path", required=True)
     ap.add_argument("--out-path", required=True)
     ap.add_argument("--params", help="orbax params dir")
@@ -130,7 +165,23 @@ def main(argv=None):
     ap.add_argument("--no-bf16", dest="bf16", action="store_false")
     ap.add_argument("--preset", choices=["full", "tiny"], default="full",
                     help="'tiny' = smoke-test widths (random weights)")
+    if cfg.get("infer"):
+        known = {a.dest for a in ap._actions}
+        unknown = set(cfg["infer"]) - known
+        if unknown:
+            raise KeyError(f"config infer: unknown keys {sorted(unknown)}")
+        ap.set_defaults(**cfg["infer"])
+    # model-level knobs the CLI also exposes: config wins over the argparse
+    # default, an explicit flag wins over the config
+    model_cfg = cfg.get("model") or {}
+    for cfg_key, dest in [("ddpm_steps", "ddpm_steps"),
+                          ("guidance_scale", "guidance"),
+                          ("dec_w", "dec_w"), ("colorfix", "colorfix"),
+                          ("num_frames", None)]:
+        if dest and cfg_key in model_cfg:
+            ap.set_defaults(**{dest: model_cfg[cfg_key]})
     args = ap.parse_args(argv)
+    args.model_cfg = model_cfg
 
     import cv2
     import jax

@@ -78,7 +78,24 @@ def default_degradation_cfg():
 
 
 def main(argv=None):
-    ap = argparse.ArgumentParser(description=__doc__)
+    # pass 1: config files + dotlist overrides (the reference's
+    # `--base cfg.yaml ... key=value` OmegaConf flow, main.py:530-548).
+    # Config values become argparse defaults, so explicit CLI flags win.
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--config", action="append", default=[],
+                     help="YAML config(s), merged left-to-right "
+                          "(see configs/)")
+    pre.add_argument("--set", dest="overrides", action="append", default=[],
+                     metavar="KEY.PATH=VALUE",
+                     help="dotlist config overrides")
+    pre_args, _ = pre.parse_known_args(argv)
+    cfg = {}
+    if pre_args.config or pre_args.overrides:
+        from mgldvsr_tpu.utils.config import load_config
+
+        cfg = load_config(pre_args.config, pre_args.overrides)
+
+    ap = argparse.ArgumentParser(description=__doc__, parents=[pre])
     ap.add_argument("--stage", type=int, choices=[1, 2], default=1)
     ap.add_argument("--data-root", required=True)
     ap.add_argument("--lq-root", help="stage 2: LQ frames root")
@@ -102,6 +119,13 @@ def main(argv=None):
     ap.add_argument("--sample-rows", action="store_true",
                     help="log sampler rows (reconstruction/samples/"
                          "denoise_row) at every image-log step")
+    if cfg.get("train"):
+        known = {a.dest for a in ap._actions}
+        defaults = {k: v for k, v in cfg["train"].items() if k in known}
+        unknown = set(cfg["train"]) - known
+        if unknown:
+            raise KeyError(f"config train: unknown keys {sorted(unknown)}")
+        ap.set_defaults(**defaults)
     args = ap.parse_args(argv)
 
     import jax
@@ -138,6 +162,11 @@ def main(argv=None):
         pipe_cfg = tiny_config(num_frames=args.num_frames)
         pipe = MGLDVSRPipeline(pipe_cfg)
         gt_size = 32
+    elif cfg.get("model"):
+        from mgldvsr_tpu.utils.config import pipeline_config_from_dict
+
+        pipe = MGLDVSRPipeline(pipeline_config_from_dict(cfg["model"]))
+        gt_size = args.gt_size
     else:
         pipe = MGLDVSRPipeline()
         gt_size = args.gt_size
@@ -146,6 +175,9 @@ def main(argv=None):
         from mgldvsr_tpu.train.trainer import Stage1Config, Stage1Trainer
 
         deg1, deg2 = default_degradation_cfg()
+        data_cfg = dict(cfg.get("data", {}))
+        deg1 = data_cfg.pop("degradation_1", deg1)
+        deg2 = data_cfg.pop("degradation_2", deg2)
         if args.tiny:
             # single stage, fixed LQ size (static shapes => one compile)
             deg1 = dict(deg1, resize_final=dict(params=dict(
@@ -157,6 +189,7 @@ def main(argv=None):
             args.data_root, num_frame=args.num_frames, gt_size=gt_size,
             degradation_1=deg1, degradation_2=deg2,
             seed=args.seed,
+            **data_cfg,  # meta_info_file / val_partition / packed_root / ...
         )
         trainer = Stage1Trainer(
             pipe, Stage1Config(learning_rate=args.lr,

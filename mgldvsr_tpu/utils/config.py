@@ -79,6 +79,50 @@ def instantiate(spec: Dict, **extra) -> Any:
     return REGISTRY[name](**params)
 
 
+def build_dataclass(cls, cfg: Optional[Dict]):
+    """Construct dataclass ``cls`` from a (possibly nested) config dict.
+
+    Nested dataclass fields recurse (the target type is taken from the
+    field's default value), lists coerce to tuples where the default is a
+    tuple, and ``dtype`` fields accept jnp dtype names ("bfloat16").
+    Unknown keys fail loudly with the valid key set.
+    """
+    import dataclasses
+
+    cfg = dict(cfg or {})
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs: Dict[str, Any] = {}
+    for key, value in cfg.items():
+        if key not in fields:
+            raise KeyError(
+                f"{cls.__name__}: unknown config key {key!r}; "
+                f"valid: {sorted(fields)}")
+        f = fields[key]
+        if f.default is not dataclasses.MISSING:
+            default = f.default
+        elif f.default_factory is not dataclasses.MISSING:  # type: ignore
+            default = f.default_factory()  # type: ignore
+        else:
+            default = None
+        if dataclasses.is_dataclass(default) and isinstance(value, dict):
+            value = build_dataclass(type(default), value)
+        elif key == "dtype" and isinstance(value, str):
+            import jax.numpy as jnp
+
+            value = jnp.dtype(value)
+        elif isinstance(default, tuple) and isinstance(value, list):
+            value = tuple(value)
+        kwargs[key] = value
+    return cls(**kwargs)
+
+
+def pipeline_config_from_dict(cfg: Optional[Dict]):
+    """The ``model:`` config subtree -> ``PipelineConfig``."""
+    from mgldvsr_tpu.infer.pipeline import PipelineConfig
+
+    return build_dataclass(PipelineConfig, cfg)
+
+
 # ---------------------------------------------------------------------------
 # standard registrations
 # ---------------------------------------------------------------------------
