@@ -43,13 +43,14 @@ def main():
                          "vqgantile_size; 960 default — smaller values "
                          "trade protocol fidelity for compile size)")
     ap.add_argument("--pch-stride", type=int, default=750)
-    ap.add_argument("--mode", choices=["segment", "tile", "train"],
+    ap.add_argument("--mode", choices=["segment", "tile", "train", "train2"],
                     default="segment",
                     help="segment: fixed 512px window (the headline metric);"
                          " tile: arbitrary-resolution canvas protocol"
                          " (320x180 -> 1280x720, the reference's VideoLQ"
                          " use case); train: stage-1 step throughput with"
-                         " and without activation remat")
+                         " and without activation remat; train2: stage-2"
+                         " video-VAE GAN step throughput")
     args = ap.parse_args()
 
     if args.tiny:
@@ -156,6 +157,43 @@ def main():
             "unit": "steps/sec",
             "vs_baseline": 0.0,
             "detail": results,
+        }))
+        return
+
+    if args.mode == "train2":
+        from mgldvsr_tpu.train.stage2 import Stage2Config, Stage2Trainer
+
+        trainer = Stage2Trainer(
+            cfg.vae, Stage2Config(grad_accum=1, num_frames=t))
+        state = trainer.init_state(jax.random.PRNGKey(0), size, size)
+        step_fn = jax.jit(trainer.train_step)
+        lq = jax.random.uniform(jax.random.PRNGKey(1), (t, size, size, 3))
+        gt = jax.random.uniform(jax.random.PRNGKey(2), (t, size, size, 3))
+        lat = jax.random.normal(
+            jax.random.PRNGKey(3), (t, size // 8, size // 8, 4))
+        try:
+            state, m = jax.block_until_ready(
+                step_fn(state, lq, gt, lat, jax.random.PRNGKey(4)))
+            times = []
+            for i in range(args.iters):
+                t0 = time.perf_counter()
+                state, m = jax.block_until_ready(
+                    step_fn(state, lq, gt, lat, jax.random.PRNGKey(5 + i)))
+                times.append(time.perf_counter() - t0)
+            stats = jax.local_devices()[0].memory_stats() or {}
+            detail = {"steps_per_sec": round(1.0 / min(times), 4),
+                      "peak_hbm_gb": round(
+                          stats.get("peak_bytes_in_use", 0) / 2**30, 3)}
+        except Exception as e:
+            detail = {"oom": True, "error": type(e).__name__,
+                      "detail": str(e).split("\n")[0][:200]}
+        print(json.dumps({
+            "metric": f"stage2 video-VAE GAN train steps/sec @{size}px"
+                      f" {t}-frame clip",
+            "value": detail.get("steps_per_sec", 0.0),
+            "unit": "steps/sec",
+            "vs_baseline": 0.0,
+            "detail": detail,
         }))
         return
 

@@ -77,6 +77,26 @@ def default_degradation_cfg():
     return deg1, deg2
 
 
+def batched_items(it, clips_per_step: int):
+    """Group dataset items into one multi-clip batch (frame axes
+    concatenate: [k*t, ...]) so a dp-way mesh gets one clip per slot."""
+    if clips_per_step <= 1:
+        yield from it
+        return
+    import numpy as np
+
+    buf = []
+    for item in it:
+        buf.append(item)
+        if len(buf) == clips_per_step:
+            yield {
+                key: (np.concatenate([b[key] for b in buf])
+                      if isinstance(val, np.ndarray) else val)
+                for key, val in buf[0].items()
+            }
+            buf = []
+
+
 def main(argv=None):
     # pass 1: config files + dotlist overrides (the reference's
     # `--base cfg.yaml ... key=value` OmegaConf flow, main.py:530-548).
@@ -119,6 +139,17 @@ def main(argv=None):
     ap.add_argument("--sample-rows", action="store_true",
                     help="log sampler rows (reconstruction/samples/"
                          "denoise_row) at every image-log step")
+    ap.add_argument("--mesh", action="store_true",
+                    help="shard the train step over all visible devices "
+                         "(('data','tensor') mesh; batch = one clip per "
+                         "data-mesh slot)")
+    ap.add_argument("--multihost", action="store_true",
+                    help="join the JAX distributed runtime first (TPU pod: "
+                         "autodetected; implies --mesh). Run one identical "
+                         "process per host.")
+    ap.add_argument("--tensor-parallel", type=int, default=1,
+                    help="tensor axis size of the mesh (weights' out-dims "
+                         "split megatron-style; degrades gracefully)")
     if cfg.get("train"):
         known = {a.dest for a in ap._actions}
         defaults = {k: v for k, v in cfg["train"].items() if k in known}
@@ -142,6 +173,28 @@ def main(argv=None):
     from mgldvsr_tpu.io.checkpoint import CheckpointManager, install_signal_save
     from mgldvsr_tpu.utils.logging import ImageLogger, MessageLogger, env_info
 
+    # distribution: multihost joins the pod runtime (jax.devices() becomes
+    # global), --mesh shards the step over whatever is visible. Each host
+    # feeds its own sampler shard; grads psum across the 'data' axis.
+    proc_idx, proc_cnt = 0, 1
+    mesh = None
+    if args.multihost:
+        from mgldvsr_tpu.parallel.mesh import init_multihost
+
+        proc_idx, proc_cnt = init_multihost()
+        args.mesh = True
+    if args.mesh:
+        from mgldvsr_tpu.parallel.mesh import (
+            host_local_to_global,
+            make_mesh,
+            place_train_state,
+        )
+
+        mesh = make_mesh(tp=args.tensor_parallel)
+        print(f"mesh {dict(mesh.shape)} over {len(mesh.devices.flat)} "
+              f"devices, host {proc_idx}/{proc_cnt}", flush=True)
+
+    is_main = proc_idx == 0
     print(env_info(), flush=True)
     os.makedirs(args.logdir, exist_ok=True)
     tb = None
@@ -207,26 +260,45 @@ def main(argv=None):
             state = ckpt.restore(template=state)
             print(f"resumed at step {int(state.step)}", flush=True)
 
+        if mesh is not None:
+            state = place_train_state(state, mesh)
         step_fn = jax.jit(trainer.train_step)
         install_signal_save(lambda: (int(state.step), state), ckpt)
 
         rng = jax.random.PRNGKey(args.seed)
-        sampler = ShardedSampler(len(ds), seed=args.seed)
+        clips_per_step = (max(mesh.shape["data"] // proc_cnt, 1)
+                          if mesh is not None else 1)
+        # enlarge epochs (EnlargedSampler ratio) so every shard yields at
+        # least one full multi-clip batch per epoch even on tiny datasets
+        ratio = -(-clips_per_step * proc_cnt // max(len(ds), 1))
+        sampler = ShardedSampler(len(ds), shard=proc_idx,
+                                 num_shards=proc_cnt, ratio=ratio,
+                                 seed=args.seed)
+        if len(sampler.epoch(0)) < clips_per_step:  # would spin silently
+            raise ValueError(
+                f"dataset too small: epoch yields {len(sampler.epoch(0))} "
+                f"clips on this shard but each step needs {clips_per_step}")
         step = int(state.step)
         try:
             epoch = 0
             while step < args.max_steps:
-                for item in prefetch_iterator(ds, sampler.epoch(epoch)):
+                for item in batched_items(
+                        prefetch_iterator(ds, sampler.epoch(epoch)),
+                        clips_per_step):
                     lq = upscale_frames(jnp.asarray(item["lqs"]), pipe.cfg.sf)
                     gt = jnp.asarray(item["gts"])
+                    lq_host, gt_host = np.asarray(lq), np.asarray(gt)
+                    if mesh is not None:
+                        lq, gt = host_local_to_global((lq, gt), mesh)
                     rng, k = jax.random.split(rng)
                     state, metrics = step_fn(state, lq, gt, k)
                     step = int(state.step)
-                    msg(step, metrics, lr=args.lr)
+                    if is_main:
+                        msg(step, metrics, lr=args.lr)
                     ckpt.save(step, state,
                               metrics={k_: float(v) for k_, v in metrics.items()})
-                    if imglog.should_log(step):
-                        rows = {"lq": np.asarray(lq), "gt": np.asarray(gt)}
+                    if is_main and imglog.should_log(step):
+                        rows = {"lq": lq_host, "gt": gt_host}
                         if args.sample_rows:
                             from mgldvsr_tpu.train.trainer import merge_params
 
@@ -236,7 +308,7 @@ def main(argv=None):
                                 pipe.log_images(
                                     merge_params(state.trainable,
                                                  state.frozen),
-                                    lq, ks,
+                                    jnp.asarray(lq_host), ks,
                                 ).items()
                             })
                         imglog.log_images(step, rows)
@@ -265,23 +337,42 @@ def main(argv=None):
         if args.resume and ckpt.latest_step() is not None:
             state = ckpt.restore(template=state)
 
+        if mesh is not None:
+            state = place_train_state(state, mesh)
         step_fn = jax.jit(trainer.train_step)
         install_signal_save(lambda: (int(state.step), state), ckpt)
         rng = jax.random.PRNGKey(args.seed)
-        sampler = ShardedSampler(len(ds), seed=args.seed)
+        clips_per_step = (max(mesh.shape["data"] // proc_cnt, 1)
+                          if mesh is not None else 1)
+        # enlarge epochs (EnlargedSampler ratio) so every shard yields at
+        # least one full multi-clip batch per epoch even on tiny datasets
+        ratio = -(-clips_per_step * proc_cnt // max(len(ds), 1))
+        sampler = ShardedSampler(len(ds), shard=proc_idx,
+                                 num_shards=proc_cnt, ratio=ratio,
+                                 seed=args.seed)
+        if len(sampler.epoch(0)) < clips_per_step:  # would spin silently
+            raise ValueError(
+                f"dataset too small: epoch yields {len(sampler.epoch(0))} "
+                f"clips on this shard but each step needs {clips_per_step}")
         step = int(state.step)
         try:
             epoch = 0
             while step < args.max_steps:
-                for item in prefetch_iterator(ds, sampler.epoch(epoch)):
+                for item in batched_items(
+                        prefetch_iterator(ds, sampler.epoch(epoch)),
+                        clips_per_step):
                     lq = upscale_frames(jnp.asarray(item["lqs"]), 4)
                     gt = jnp.asarray(item["gts"])
                     lat = jnp.asarray(item["lts"])
+                    if mesh is not None:
+                        lq, gt, lat = host_local_to_global((lq, gt, lat),
+                                                           mesh)
                     rng, k = jax.random.split(rng)
                     state, metrics = step_fn(state, lq, gt, lat, k)
                     step = int(state.step)
-                    msg(step, {k_: v for k_, v in metrics.items()
-                               if np.ndim(v) == 0}, lr=args.lr)
+                    if is_main:
+                        msg(step, {k_: v for k_, v in metrics.items()
+                                   if np.ndim(v) == 0}, lr=args.lr)
                     ckpt.save(step, state)
                     if step >= args.max_steps:
                         break

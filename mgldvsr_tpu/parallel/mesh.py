@@ -88,3 +88,76 @@ def shard_params(params, mesh: Mesh):
 def shard_batch(batch, mesh: Mesh):
     sh = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+_PARAM_FIELDS = ("trainable", "frozen", "ema", "gen_trainable",
+                 "gen_frozen", "disc", "aux")
+
+
+def place_train_state(state, mesh: Mesh):
+    """Place a trainer state on the mesh: parameter trees go through the
+    tensor-sharding rule, optimizer/step leaves replicate. Works for both
+    Stage1 ``TrainState`` and Stage2 ``Stage2State`` (NamedTuples)."""
+    repl = NamedSharding(mesh, P())
+
+    def replicate(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, repl) if hasattr(x, "shape") else x,
+            tree,
+        )
+
+    updates = {}
+    for name in state._fields:
+        val = getattr(state, name)
+        if name in _PARAM_FIELDS and val is not None:
+            updates[name] = shard_params(val, mesh)
+        else:
+            updates[name] = replicate(val)
+    return state._replace(**updates)
+
+
+# ---------------------------------------------------------------------------
+# multi-host (pod) support
+# ---------------------------------------------------------------------------
+
+
+def init_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+):
+    """Join the JAX distributed runtime for multi-host (pod) training.
+
+    On Cloud TPU pods ``jax.distributed.initialize()`` autodetects
+    everything from the metadata server; elsewhere pass coordinator/
+    count/id explicitly (or via JAX_COORDINATOR_ADDRESS etc.). Safe to
+    call when already initialized or single-process: returns
+    (process_index, process_count) either way. After this, ``jax.devices()``
+    is the GLOBAL device list, so ``make_mesh()`` spans the pod and the
+    jitted train step's gradient psum rides ICI/DCN across hosts.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError:
+        pass  # already initialized (or single-process backend already up)
+    return jax.process_index(), jax.process_count()
+
+
+def host_local_to_global(batch, mesh: Mesh):
+    """Assemble per-host batch shards into global arrays sharded over
+    'data'. Each host feeds its own slice (ShardedSampler with
+    shard=process_index); the result behaves like one global batch of
+    process_count x local size inside jit. Single-process this reduces to
+    ``shard_batch``."""
+    if jax.process_count() == 1:
+        return shard_batch(batch, mesh)
+    sh = batch_sharding(mesh)
+
+    def to_global(x):
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+    return jax.tree_util.tree_map(to_global, batch)
