@@ -67,16 +67,14 @@ def build_pipeline(args):
         cfg = dataclasses.replace(
             cfg, ddpm_steps=args.ddpm_steps, guidance_scale=args.guidance,
             dec_w=args.dec_w, colorfix=args.colorfix)
-        if not args.bf16:  # explicit --no-bf16 forces fp32 everywhere
-            import jax.numpy as jnp_
-
-            cfg = dataclasses.replace(
-                cfg,
-                unet=dataclasses.replace(cfg.unet, dtype=jnp_.float32),
-                structcond=dataclasses.replace(cfg.structcond,
-                                               dtype=jnp_.float32),
-                vae=dataclasses.replace(cfg.vae, dtype=jnp_.float32),
-                clip=dataclasses.replace(cfg.clip, dtype=jnp_.float32))
+        # dtype: an explicit per-module config dtype wins; otherwise the
+        # CLI-level choice applies (bf16 default / --no-bf16 = fp32) —
+        # same behavior as the non-config path
+        for name in ("unet", "structcond", "vae", "clip"):
+            if "dtype" not in (args.model_cfg.get(name) or {}):
+                cfg = dataclasses.replace(
+                    cfg, **{name: dataclasses.replace(
+                        getattr(cfg, name), dtype=dt)})
         return MGLDVSRPipeline(cfg)
     cfg = PipelineConfig(
         ddpm_steps=args.ddpm_steps,

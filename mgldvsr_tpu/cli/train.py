@@ -95,6 +95,9 @@ def batched_items(it, clips_per_step: int):
                 for key, val in buf[0].items()
             }
             buf = []
+    if buf:  # tail clips were loaded+degraded but don't fill a batch
+        print(f"batched_items: dropping {len(buf)} tail clip(s) "
+              f"(< {clips_per_step} per step)", flush=True)
 
 
 def main(argv=None):
@@ -287,7 +290,9 @@ def main(argv=None):
                         clips_per_step):
                     lq = upscale_frames(jnp.asarray(item["lqs"]), pipe.cfg.sf)
                     gt = jnp.asarray(item["gts"])
-                    lq_host, gt_host = np.asarray(lq), np.asarray(gt)
+                    # host-local handles for image logging (no copy here;
+                    # device->host transfer only when a log step fires)
+                    lq_local, gt_local = lq, gt
                     if mesh is not None:
                         lq, gt = host_local_to_global((lq, gt), mesh)
                     rng, k = jax.random.split(rng)
@@ -298,7 +303,8 @@ def main(argv=None):
                     ckpt.save(step, state,
                               metrics={k_: float(v) for k_, v in metrics.items()})
                     if is_main and imglog.should_log(step):
-                        rows = {"lq": lq_host, "gt": gt_host}
+                        rows = {"lq": np.asarray(lq_local),
+                                "gt": np.asarray(gt_local)}
                         if args.sample_rows:
                             from mgldvsr_tpu.train.trainer import merge_params
 
@@ -308,7 +314,7 @@ def main(argv=None):
                                 pipe.log_images(
                                     merge_params(state.trainable,
                                                  state.frozen),
-                                    jnp.asarray(lq_host), ks,
+                                    lq_local, ks,
                                 ).items()
                             })
                         imglog.log_images(step, rows)

@@ -147,18 +147,12 @@ class RealVSRRecurrentDataset:
         span = (self.num_frame - 1) * interval
         start = rng.randint(0, max(n_frames - span, 1))
         idxs = [start + i * interval for i in range(self.num_frame)]
-        if self.packed is not None or self.packed_py is not None:
-            # same RNG draw order as the disk path (crop top/left, then the
-            # three augment coins) so a given (seed, index) yields the same
-            # sample regardless of backend
+        if self.packed is not None:
+            # same RNG draw order as the disk path (crop top/left inside
+            # paired_random_crop, then the three augment coins) so a given
+            # (seed, index) yields the same sample regardless of backend
             keys = [f"{clip}/{i:08d}.png" for i in idxs]
-            if self.packed is not None:
-                h, w = self.packed.probe(keys[0])
-            else:
-                from mgldvsr_tpu.data.file_client import imfrombytes
-
-                first = imfrombytes(self.packed_py.get(keys[0]))
-                h, w = first.shape[:2]
+            h, w = self.packed.probe(keys[0])
             size = self.gt_size
             if h < size or w < size:
                 raise ValueError(f"clip {h}x{w} smaller than crop {size}")
@@ -167,32 +161,19 @@ class RealVSRRecurrentDataset:
             do_h = self.use_hflip and rng.uniform() < 0.5
             do_v = self.use_rot and rng.uniform() < 0.5
             do_t = self.use_rot and rng.uniform() < 0.5
-            if self.packed is not None:
-                clip_arr = self.packed.load_clip(
-                    keys, top, left, size, size,
-                    hflip=do_h, vflip=do_v, transpose=do_t)
-                gts = list(clip_arr)
-            else:
-                from mgldvsr_tpu.data.file_client import imfrombytes
+            gts = list(self.packed.load_clip(
+                keys, top, left, size, size,
+                hflip=do_h, vflip=do_v, transpose=do_t))
+        elif self.packed_py is not None:
+            # python fallback: same helpers as the disk path (identical
+            # RNG consumption), bytes from the packed backend
+            from mgldvsr_tpu.data.file_client import imfrombytes
 
-                gts = [first] + [
-                    imfrombytes(self.packed_py.get(k)) for k in keys[1:]
-                ]
-                gts = [
-                    g[top : top + size, left : left + size].astype(np.float32)
-                    / 255.0
-                    for g in gts
-                ]
-                out = []
-                for f in gts:
-                    if do_h:
-                        f = f[:, ::-1]
-                    if do_v:
-                        f = f[::-1]
-                    if do_t:
-                        f = f.transpose(1, 0, 2)
-                    out.append(np.ascontiguousarray(f))
-                gts = out
+            keys = [f"{clip}/{i:08d}.png" for i in idxs]
+            gts = [imfrombytes(self.packed_py.get(k), float32=True)
+                   for k in keys]
+            gts = paired_random_crop(gts, self.gt_size, rng)
+            gts = augment(gts, self.use_hflip, self.use_rot, rng)
         else:
             gts = [
                 _imread(os.path.join(self.root, clip, f"{i:08d}.png"))

@@ -40,16 +40,27 @@ def build_native(force: bool = False) -> str:
         with open(_STAMP) as f:
             if f.read().strip() == sha:
                 return _LIB
+    # build into a per-process temp name, then rename atomically: N
+    # concurrent processes (one per chip, --num-shards protocol) may race
+    # here, and dlopen of a half-written .so segfaults
+    tmp_lib = f"{_LIB}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC,
-        "-o", _LIB, "-ljpeg", "-lpng", "-lz", "-lpthread",
+        "-o", tmp_lib, "-ljpeg", "-lpng", "-lz", "-lpthread",
     ]
     proc = subprocess.run(cmd, capture_output=True, text=True)
     if proc.returncode != 0:
+        try:
+            os.unlink(tmp_lib)
+        except OSError:
+            pass
         raise RuntimeError(
             f"native build failed ({' '.join(cmd)}):\n{proc.stderr}")
-    with open(_STAMP, "w") as f:
+    tmp_stamp = f"{_STAMP}.{os.getpid()}.tmp"
+    with open(tmp_stamp, "w") as f:
         f.write(sha)
+    os.rename(tmp_lib, _LIB)
+    os.rename(tmp_stamp, _STAMP)
     return _LIB
 
 

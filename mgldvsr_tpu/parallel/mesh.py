@@ -75,10 +75,17 @@ def _param_spec(path: tuple, leaf: Any, tp: int) -> P:
 
 
 def shard_params(params, mesh: Mesh):
-    """Place a parameter pytree on the mesh according to the tensor rule."""
+    """Place a parameter pytree on the mesh according to the tensor rule.
+
+    Also correct for optimizer states: Adam moments mirror their params'
+    shapes and path names, so the same rule shards them identically (a
+    replicated moment for a tensor-sharded param would defeat the tp
+    memory lever and force XLA reshards against sharded grads)."""
     tp = mesh.shape["tensor"]
 
     def place(path, leaf):
+        if not hasattr(leaf, "shape"):
+            return leaf
         spec = _param_spec(tuple(str(k) for k in path), leaf, tp)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
@@ -90,29 +97,17 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
-_PARAM_FIELDS = ("trainable", "frozen", "ema", "gen_trainable",
-                 "gen_frozen", "disc", "aux")
-
-
 def place_train_state(state, mesh: Mesh):
-    """Place a trainer state on the mesh: parameter trees go through the
-    tensor-sharding rule, optimizer/step leaves replicate. Works for both
-    Stage1 ``TrainState`` and Stage2 ``Stage2State`` (NamedTuples)."""
-    repl = NamedSharding(mesh, P())
-
-    def replicate(tree):
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, repl) if hasattr(x, "shape") else x,
-            tree,
-        )
-
-    updates = {}
-    for name in state._fields:
-        val = getattr(state, name)
-        if name in _PARAM_FIELDS and val is not None:
-            updates[name] = shard_params(val, mesh)
-        else:
-            updates[name] = replicate(val)
+    """Place a trainer state on the mesh. Every field goes through the
+    tensor-sharding rule — parameter trees AND optimizer moments (which
+    mirror param shapes/paths, so they shard identically); everything
+    else (counts, step, scalars) lands replicated via the P() fallback.
+    Works for Stage1 ``TrainState`` and Stage2 ``Stage2State``."""
+    updates = {
+        name: shard_params(getattr(state, name), mesh)
+        for name in state._fields
+        if getattr(state, name) is not None
+    }
     return state._replace(**updates)
 
 
@@ -136,14 +131,20 @@ def init_multihost(
     is the GLOBAL device list, so ``make_mesh()`` spans the pod and the
     jitted train step's gradient psum rides ICI/DCN across hosts.
     """
+    already = False
     try:
+        already = bool(jax.distributed.is_initialized())
+    except AttributeError:  # older jax without the predicate
+        pass
+    if not already:
+        # genuine failures (unreachable coordinator, bad address) must
+        # propagate: swallowing them would silently degrade every host to
+        # an independent proc-0/1 run writing over the same logdir
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except RuntimeError:
-        pass  # already initialized (or single-process backend already up)
     return jax.process_index(), jax.process_count()
 
 

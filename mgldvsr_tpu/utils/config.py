@@ -79,48 +79,68 @@ def instantiate(spec: Dict, **extra) -> Any:
     return REGISTRY[name](**params)
 
 
-def build_dataclass(cls, cfg: Optional[Dict]):
-    """Construct dataclass ``cls`` from a (possibly nested) config dict.
+def apply_to_dataclass(instance, cfg: Optional[Dict]):
+    """Apply a (possibly nested) config dict ON TOP of an existing
+    dataclass instance via ``dataclasses.replace`` — non-default values
+    already baked into the instance (e.g. PipelineConfig's
+    ``VAEConfig(num_frames=5, enable_fusion=True)`` factory) survive keys
+    the config doesn't mention.
 
-    Nested dataclass fields recurse (the target type is taken from the
-    field's default value), lists coerce to tuples where the default is a
-    tuple, and ``dtype`` fields accept jnp dtype names ("bfloat16").
-    Unknown keys fail loudly with the valid key set.
+    Nested dataclass fields recurse, lists coerce to tuples where the
+    current value is a tuple, and ``dtype`` fields accept jnp dtype names
+    ("bfloat16"). Unknown keys fail loudly with the valid key set.
     """
     import dataclasses
 
     cfg = dict(cfg or {})
-    fields = {f.name: f for f in dataclasses.fields(cls)}
+    fields = {f.name for f in dataclasses.fields(instance)}
     kwargs: Dict[str, Any] = {}
     for key, value in cfg.items():
         if key not in fields:
             raise KeyError(
-                f"{cls.__name__}: unknown config key {key!r}; "
+                f"{type(instance).__name__}: unknown config key {key!r}; "
                 f"valid: {sorted(fields)}")
-        f = fields[key]
-        if f.default is not dataclasses.MISSING:
-            default = f.default
-        elif f.default_factory is not dataclasses.MISSING:  # type: ignore
-            default = f.default_factory()  # type: ignore
-        else:
-            default = None
-        if dataclasses.is_dataclass(default) and isinstance(value, dict):
-            value = build_dataclass(type(default), value)
+        current = getattr(instance, key)
+        if dataclasses.is_dataclass(current) and isinstance(value, dict):
+            value = apply_to_dataclass(current, value)
         elif key == "dtype" and isinstance(value, str):
             import jax.numpy as jnp
 
             value = jnp.dtype(value)
-        elif isinstance(default, tuple) and isinstance(value, list):
+        elif isinstance(current, tuple) and isinstance(value, list):
             value = tuple(value)
         kwargs[key] = value
-    return cls(**kwargs)
+    return dataclasses.replace(instance, **kwargs)
+
+
+def build_dataclass(cls, cfg: Optional[Dict]):
+    """Construct dataclass ``cls`` from a config dict (all fields of
+    ``cls`` must have defaults; see :func:`apply_to_dataclass`)."""
+    return apply_to_dataclass(cls(), cfg)
 
 
 def pipeline_config_from_dict(cfg: Optional[Dict]):
-    """The ``model:`` config subtree -> ``PipelineConfig``."""
+    """The ``model:`` config subtree -> ``PipelineConfig``.
+
+    ``model.num_frames`` propagates into the unet/structcond/vae
+    sub-configs unless the subtree pins its own value — the temporal
+    modules reshape the flattened (b t) axis by their num_frames, so a
+    mismatch is a shape error (or silent mis-grouping) at runtime.
+    """
+    import dataclasses
+
     from mgldvsr_tpu.infer.pipeline import PipelineConfig
 
-    return build_dataclass(PipelineConfig, cfg)
+    cfg = dict(cfg or {})
+    pc = build_dataclass(PipelineConfig, cfg)
+    if "num_frames" in cfg:
+        t = cfg["num_frames"]
+        for name in ("unet", "structcond", "vae"):
+            if "num_frames" not in (cfg.get(name) or {}):
+                pc = dataclasses.replace(
+                    pc, **{name: dataclasses.replace(
+                        getattr(pc, name), num_frames=t)})
+    return pc
 
 
 # ---------------------------------------------------------------------------

@@ -55,6 +55,36 @@ def test_dotlist_override_and_build():
     assert cfg["infer"]["size"] == 768
 
 
+def test_factory_defaults_survive_partial_subtrees():
+    """A config that mentions a nested module must not reset the
+    non-default values baked into PipelineConfig's factory defaults
+    (VAEConfig(num_frames=5, enable_fusion=True))."""
+    from mgldvsr_tpu.utils.config import load_config, pipeline_config_from_dict
+
+    cfg = load_config(
+        [os.path.join(CFG, "video_autoencoder_kl_64x64x4_resi.yaml")])
+    pc = pipeline_config_from_dict(cfg["model"])
+    assert pc.vae.num_frames == 5       # factory default survives
+    assert pc.vae.enable_fusion is True
+    # and the fully-implicit case
+    pc2 = pipeline_config_from_dict({"ddpm_steps": 10})
+    assert pc2.vae.num_frames == 5 and pc2.vae.enable_fusion is True
+
+
+def test_num_frames_propagates_to_submodules():
+    from mgldvsr_tpu.utils.config import pipeline_config_from_dict
+
+    pc = pipeline_config_from_dict({"num_frames": 3})
+    assert pc.num_frames == 3
+    assert pc.unet.num_frames == 3
+    assert pc.structcond.num_frames == 3
+    assert pc.vae.num_frames == 3
+    # explicit subtree value pins
+    pc = pipeline_config_from_dict(
+        {"num_frames": 3, "vae": {"num_frames": 1}})
+    assert pc.vae.num_frames == 1 and pc.unet.num_frames == 3
+
+
 def test_unknown_key_fails_loudly():
     from mgldvsr_tpu.utils.config import pipeline_config_from_dict
 
