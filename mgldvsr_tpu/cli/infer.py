@@ -158,6 +158,14 @@ def main(argv=None):
                     help="tile mode: distribute canvas patches over all "
                          "local devices (shard_map; outputs identical to "
                          "sequential)")
+    ap.add_argument("--window-parallel", action="store_true",
+                    help="fixed mode: run one num_frames window per local "
+                         "device with per-step ICI boundary-latent halo "
+                         "(cross-window coherent guidance); remainder "
+                         "windows run per-device")
+    ap.add_argument("--boundary-weight", type=float, default=1.0,
+                    help="window-parallel: weight of the cross-window "
+                         "boundary guidance term (0 = independent windows)")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--no-bf16", dest="bf16", action="store_false")
@@ -202,14 +210,50 @@ def main(argv=None):
         )
 
     rng = jax.random.PRNGKey(args.seed)
+    n_dev = len(jax.devices())
+    group_size = (n_dev if (args.window_parallel and args.mode == "fixed"
+                            and n_dev > 1) else 1)
     for seq_idx in range(len(ds)):
         if seq_idx % args.num_shards != args.shard:
             continue
         t0 = time.time()
         n_frames = 0
-        for clip, names, frames in ds.segments(seq_idx):
+        segments = list(ds.segments(seq_idx))
+        grouped = []
+        i = 0
+        while i < len(segments):
+            g = segments[i : i + group_size]
+            if len(g) == group_size and group_size > 1:
+                grouped.append(("group", g))
+                i += group_size
+            else:  # remainder windows run per-device
+                grouped.append(("single", [segments[i]]))
+                i += 1
+        for kind, group in grouped:
+            clip = group[0][0]
             outdir = os.path.join(args.out_path, clip)
             os.makedirs(outdir, exist_ok=True)
+            if kind == "group":
+                # consecutive windows, one per device, halo-coupled
+                key = jax.random.fold_in(
+                    rng, hash((clip, group[0][1][0])) % 2**31)
+                ups = np.concatenate(
+                    [np.asarray(upscale_frames(f, pipe.cfg.sf))
+                     for _, _, f in group])
+                out_all = np.asarray(pipe.restore_windows_sharded(
+                    params, jax.numpy.asarray(ups), key,
+                    dec_w=args.dec_w,
+                    boundary_weight=args.boundary_weight))
+                t_w = pipe.cfg.num_frames
+                for w_idx, (_, names, _) in enumerate(group):
+                    out_w = out_all[w_idx * t_w : (w_idx + 1) * t_w]
+                    for i2, name in enumerate(names):
+                        img = (np.clip(out_w[i2], 0, 1)[..., ::-1]
+                               * 255).round().astype(np.uint8)
+                        cv2.imwrite(os.path.join(outdir, name), img)
+                    n_frames += len(names)
+                continue
+            _, names, frames = group[0]
             key = jax.random.fold_in(rng, hash((clip, names[0])) % 2**31)
             if args.mode == "tile":
                 out = pipe.restore_video(

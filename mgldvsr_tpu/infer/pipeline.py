@@ -415,6 +415,119 @@ class MGLDVSRPipeline:
         return np.clip(full, 0.0, 1.0)
 
 
+    def restore_windows_sharded(
+        self,
+        params,
+        frames_01: jnp.ndarray,
+        rng: jax.Array,
+        devices: Optional[Sequence] = None,
+        dec_w: Optional[float] = None,
+        boundary_weight: float = 1.0,
+    ) -> jnp.ndarray:
+        """[D*t, H, W, 3] CONSECUTIVE target-size frames in [0,1] -> SR.
+
+        One num_frames window per device: the guided sampler runs with
+        windows sharded over a ('data',) mesh and exchanges one boundary
+        latent per neighbor per step over ICI (parallel/sharded_sampler),
+        so the motion-guided correction is also enforced ACROSS window
+        boundaries — beyond the reference's independent per-GPU windows
+        (scripts old.py:294-296). At ``boundary_weight=0`` each window
+        follows the per-window guided sampler's trajectory (sampler-level
+        equivalence is asserted in tests/test_sharded_sampler.py).
+        """
+        import numpy as np
+
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from mgldvsr_tpu.ops.occlusion import (
+            forward_backward_consistency_check,
+        )
+        from mgldvsr_tpu.parallel.sharded_sampler import sample_video_sharded
+
+        cfg = self.cfg
+        t = cfg.num_frames
+        n, H, W, _ = frames_01.shape
+        assert n % t == 0, f"{n} frames not a multiple of num_frames={t}"
+        d = n // t
+        if devices is None:
+            devices = jax.devices()[:d]
+        assert len(devices) == d, (
+            f"need exactly one device per window: {d} windows, "
+            f"{len(devices)} devices")
+        mesh = Mesh(np.asarray(devices), ("data",))
+        bsh = NamedSharding(mesh, P("data"))
+
+        k_enc, k_xt, k_samp = jax.random.split(rng, 3)
+        frames_01 = jax.device_put(frames_01, bsh)
+        frames_pm1 = frames_01 * 2.0 - 1.0
+        init_latent, enc_fea = jax.jit(
+            lambda p, f, k: self.encode(p, f, k))(params, frames_pm1, k_enc)
+        context_t = self.embed_empty_prompt(params, t)  # same rows ∀ frames
+
+        # per-window flows + boundary-pair flows, one jitted program
+        def flows_fn(p, frames):
+            fs = cfg.flow_scale
+            small = (resize2d(frames, (int(H * fs), int(W * fs)),
+                              method="bilinear") if fs != 1.0 else frames)
+            clips = small.reshape(d, t, *small.shape[1:])
+            raft_fn = lambda a, b: self.raft.apply(p["raft"], a, b)
+            ff, fb = compute_clip_flows(raft_fn, clips)
+            to_latent = 0.125 / fs
+            ff = flows_to_latent_res(ff, to_latent)
+            fb = flows_to_latent_res(fb, to_latent)
+            occ_f, occ_b = compute_occlusion_masks(ff, fb)
+            hl, wl = ff.shape[2:4]
+            if d > 1:
+                last = clips[:-1, -1]   # [d-1, hs, ws, 3]
+                first = clips[1:, 0]
+                bf = raft_fn(jnp.concatenate([last, first]),
+                             jnp.concatenate([first, last]))
+                # bflow warps window d+1's first frame toward window d's
+                # last frame (same direction convention as flows_backward)
+                bflow = flows_to_latent_res(
+                    bf[: d - 1][:, None], to_latent)[:, 0]
+                brev = flows_to_latent_res(
+                    bf[d - 1:][:, None], to_latent)[:, 0]
+                bocc = forward_backward_consistency_check(bflow, brev)[0]
+                bflow = jnp.concatenate(         # last entry unused
+                    [bflow, jnp.zeros_like(bflow[:1])])
+                bocc = jnp.concatenate([bocc, jnp.ones_like(bocc[:1])])
+            else:
+                bflow = jnp.zeros((1, hl, wl, 2))
+                bocc = jnp.ones((1, hl, wl, 1))
+            return ff, fb, occ_f, occ_b, bflow, bocc
+
+        ff, fb, occ_f, occ_b, bflow, bocc = jax.jit(flows_fn)(
+            params, frames_01)
+        bflow = jax.device_put(bflow, bsh)
+        bocc = jax.device_put(bocc, bsh)
+
+        x_T = initial_latents(self.base_sched, init_latent, k_xt)
+        scfg = SamplerConfig(
+            num_frames=t,
+            guidance_scale=cfg.guidance_scale,
+            guidance_mode=cfg.guidance_mode,
+        )
+
+        def dn(x, t_orig, struct_local):
+            s_cond = self.structcond.apply(
+                params["structcond"], struct_local, t_orig)
+            return self.unet.apply(params["unet"], x, t_orig, context_t,
+                                   s_cond)
+
+        latents = jax.jit(
+            lambda xT, k, fl, ms, bfl, boc, sl: sample_video_sharded(
+                mesh, self.sched, dn, xT, k, scfg, fl, ms, bfl, boc,
+                boundary_weight=boundary_weight, extra=(sl,)),
+            static_argnames=(),
+        )(x_T, k_samp, (ff, fb), (occ_f, occ_b), bflow, bocc, init_latent)
+
+        decoded = jax.jit(
+            lambda p, l, e: self.decode(p, l, e, dec_w))(
+                params, latents, enc_fea)
+        fixed = apply_colorfix(decoded, frames_pm1, cfg.colorfix)
+        return jnp.clip((fixed + 1.0) / 2.0, 0.0, 1.0)
+
     def _restore_patches_sharded(self, params, patches, keys, devices,
                                  dec_w, use_guidance):
         """Canvas patches are independent programs — distribute them over

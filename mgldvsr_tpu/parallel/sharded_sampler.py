@@ -65,6 +65,7 @@ def sample_video_sharded(
     boundary_occs: jnp.ndarray,
     boundary_weight: float = 1.0,
     axis: str = "data",
+    extra: Tuple[jnp.ndarray, ...] = (),
 ) -> jnp.ndarray:
     """Run the guided reverse process with windows sharded over ``axis``.
 
@@ -75,22 +76,29 @@ def sample_video_sharded(
         to window d's last frame (last window's entry is ignored).
       boundary_occs: [D, h, w, 1].
       denoise_fn(x, t_orig) must be shard-local (closure params replicated).
+      extra: per-window conditioning arrays (leading dim D*t or D) sharded
+        over ``axis`` and passed as trailing args: denoise_fn(x, t_orig,
+        *extra_local). Use for the struct-cond latent, which varies per
+        window and must NOT be closed over (a closure would replicate it).
     """
     t = cfg.num_frames
     n_dev = mesh.shape[axis]
 
-    def local_loop(x_T_l, flows_f, flows_b, occ_f, occ_b, bflow, bocc, key):
+    def local_loop(x_T_l, flows_f, flows_b, occ_f, occ_b, bflow, bocc, key,
+                   *extra_l):
         # shapes inside shard_map: x_T_l [t, h, w, c]; flows [1, t-1, ...];
         # bflow [1, h, w, 2]
         idx = jax.lax.axis_index(axis)
         steps = jnp.arange(sched.num_timesteps - 1, -1, -1, dtype=jnp.int32)
         local_flows = (flows_f, flows_b)
         local_masks = (occ_f, occ_b)
+        dn = ((lambda x_, t_: denoise_fn(x_, t_, *extra_l))
+              if extra_l else denoise_fn)
 
         def body(carry, i):
             x, k = carry
             k, sub = jax.random.split(k)
-            mean, _, log_var = p_mean_variance(sched, denoise_fn, x, i, cfg)
+            mean, _, log_var = p_mean_variance(sched, dn, x, i, cfg)
             noise = jax.random.normal(sub, x.shape, x.dtype) * cfg.temperature
             nonzero = (i > 0).astype(x.dtype)
             latents = mean + nonzero * jnp.exp(0.5 * log_var) * noise
@@ -123,7 +131,7 @@ def sample_video_sharded(
         local_loop,
         mesh=mesh,
         in_specs=(spec_x, spec_w, spec_w, spec_w, spec_w, spec_w, spec_w,
-                  P()),
+                  P(), *([P(axis)] * len(extra))),
         out_specs=spec_x,
         check_vma=False,
     )
@@ -136,4 +144,5 @@ def sample_video_sharded(
         boundary_flows,
         boundary_occs,
         rng,
+        *extra,
     )
