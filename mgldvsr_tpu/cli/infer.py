@@ -223,10 +223,12 @@ def main(argv=None):
         i = 0
         while i < len(segments):
             g = segments[i : i + group_size]
-            if len(g) == group_size and group_size > 1:
+            if len(g) >= 2 and group_size > 1:
+                # any >=2 consecutive windows parallelize (the mesh sizes
+                # itself to the group); a lone remainder runs per-device
                 grouped.append(("group", g))
-                i += group_size
-            else:  # remainder windows run per-device
+                i += len(g)
+            else:
                 grouped.append(("single", [segments[i]]))
                 i += 1
         for kind, group in grouped:
