@@ -166,6 +166,11 @@ def main(argv=None):
     ap.add_argument("--boundary-weight", type=float, default=1.0,
                     help="window-parallel: weight of the cross-window "
                          "boundary guidance term (0 = independent windows)")
+    ap.add_argument("--window-batch", type=int, default=1,
+                    help="fixed mode, single device: batch N consecutive "
+                         "num_frames windows into one compiled restore call "
+                         "(pure throughput — each window computes exactly "
+                         "what a solo call would)")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--no-bf16", dest="bf16", action="store_false")
@@ -211,8 +216,12 @@ def main(argv=None):
 
     rng = jax.random.PRNGKey(args.seed)
     n_dev = len(jax.devices())
-    group_size = (n_dev if (args.window_parallel and args.mode == "fixed"
-                            and n_dev > 1) else 1)
+    if args.window_parallel and args.mode == "fixed" and n_dev > 1:
+        group_size = n_dev
+    elif args.mode == "fixed":
+        group_size = max(1, args.window_batch)
+    else:
+        group_size = 1
     for seq_idx in range(len(ds)):
         if seq_idx % args.num_shards != args.shard:
             continue
@@ -236,16 +245,22 @@ def main(argv=None):
             outdir = os.path.join(args.out_path, clip)
             os.makedirs(outdir, exist_ok=True)
             if kind == "group":
-                # consecutive windows, one per device, halo-coupled
                 key = jax.random.fold_in(
                     rng, hash((clip, group[0][1][0])) % 2**31)
                 ups = np.concatenate(
                     [np.asarray(upscale_frames(f, pipe.cfg.sf))
                      for _, _, f in group])
-                out_all = np.asarray(pipe.restore_windows_sharded(
-                    params, jax.numpy.asarray(ups), key,
-                    dec_w=args.dec_w,
-                    boundary_weight=args.boundary_weight))
+                if args.window_parallel:
+                    # consecutive windows, one per device, halo-coupled
+                    out_all = np.asarray(pipe.restore_windows_sharded(
+                        params, jax.numpy.asarray(ups), key,
+                        dec_w=args.dec_w,
+                        boundary_weight=args.boundary_weight))
+                else:
+                    # single-device window batch: one compiled call,
+                    # windows stay fully independent
+                    out_all = np.asarray(restore(
+                        params, jax.numpy.asarray(ups), key))
                 t_w = pipe.cfg.num_frames
                 for w_idx, (_, names, _) in enumerate(group):
                     out_w = out_all[w_idx * t_w : (w_idx + 1) * t_w]

@@ -245,7 +245,12 @@ def p_sample(
                 l, flows, masks, cfg.num_frames, cfg.guidance_mode
             )
         )(latents)
-        latents = latents - cfg.guidance_scale * log_var * grad
+        # The loss means over the window axis too (reference semantics,
+        # ddpm.py:3538-3574 — only ever run at b=1); scale by the window
+        # count so each window in a batched call receives exactly the
+        # correction a solo b=1 segment would.
+        n_windows = latents.shape[0] // cfg.num_frames
+        latents = latents - cfg.guidance_scale * log_var * (n_windows * grad)
     return latents
 
 

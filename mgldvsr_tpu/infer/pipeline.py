@@ -168,18 +168,22 @@ class MGLDVSRPipeline:
         return self.clip.apply(params["clip"], tokens)
 
     def compute_flows(self, params, frames_01: jnp.ndarray):
-        """frames [T,H,W,3] in [0,1] -> latent-res flows + occlusion masks.
+        """frames [B*T,H,W,3] in [0,1] -> latent-res flows + occlusion masks
+        ([B,T-1,...] each direction; flows never cross window boundaries).
 
         RAFT runs at ``flow_scale`` of the working resolution (flows are
         only consumed at 1/8 latent resolution)."""
         fs = self.cfg.flow_scale
+        nf = self.cfg.num_frames
         if fs != 1.0:
-            t, h, w, _ = frames_01.shape
+            n, h, w, _ = frames_01.shape
             small = resize2d(frames_01, (int(h * fs), int(w * fs)),
                              method="bilinear")
         else:
             small = frames_01
-        clip_frames = small[None]
+        n, h, w, c = small.shape
+        assert n % nf == 0, f"{n} frames not a multiple of num_frames={nf}"
+        clip_frames = small.reshape(n // nf, nf, h, w, c)
         ff, fb = compute_clip_flows(
             lambda a, b: self.raft.apply(params["raft"], a, b), clip_frames
         )
@@ -208,8 +212,11 @@ class MGLDVSRPipeline:
         dec_w: Optional[float] = None,
         use_guidance: bool = True,
     ) -> jnp.ndarray:
-        """[T, H, W, 3] target-size frames in [0,1] -> SR frames in [0,1].
+        """[B*T, H, W, 3] target-size frames in [0,1] -> SR frames in [0,1].
 
+        B >= 1 independent ``num_frames`` windows may be batched in one call
+        (flows/guidance/temporal attention never cross window boundaries) —
+        the single-chip throughput lever for the MXU's batch appetite.
         Jit-compatible: wrap in jax.jit (static self)."""
         cfg = self.cfg
         k_enc, k_xt, k_samp = jax.random.split(rng, 3)

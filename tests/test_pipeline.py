@@ -89,3 +89,62 @@ def test_upscale_frames():
     up = upscale_frames(frames, 4)
     assert up.shape == (3, 32, 32, 3)
     assert float(up.min()) >= 0.0 and float(up.max()) <= 1.0
+
+
+def test_window_batched_restore_matches_per_window():
+    """b>1 independent windows batched in one restore_segment call must be
+    exactly the per-window computation: flows/guidance/temporal modules may
+    never mix windows. With temperature=0 the sampler is deterministic, so
+    sample_video on concatenated per-window x_T must equal the concat of
+    per-window runs."""
+    from mgldvsr_tpu.core.diffusion import SamplerConfig, sample_video
+
+    t = 3
+    pipe = MGLDVSRPipeline(tiny_config(num_frames=t, ddpm_steps=3))
+    h = w = 32
+    params = pipe.init_params(jax.random.PRNGKey(0), h, w)
+    rs = np.random.RandomState(1)
+    win_a = jnp.asarray(rs.rand(t, h, w, 3), jnp.float32)
+    win_b = jnp.asarray(rs.rand(t, h, w, 3), jnp.float32)
+    both = jnp.concatenate([win_a, win_b], axis=0)
+
+    # 1) flows: batched == per-window, exactly
+    (ff2, fb2), (mo2, mb2) = pipe.compute_flows(params, both)
+    (ffa, fba), (moa, mba) = pipe.compute_flows(params, win_a)
+    (ffb, fbb), (mob, mbb) = pipe.compute_flows(params, win_b)
+    np.testing.assert_allclose(np.asarray(ff2),
+                               np.concatenate([ffa, ffb]), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fb2),
+                               np.concatenate([fba, fbb]), rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(mo2),
+                                  np.concatenate([moa, mob]))
+
+    # 2) deterministic guided sampling: batched == per-window
+    lat_a = jnp.asarray(rs.randn(t, h // 8, w // 8, 4), jnp.float32)
+    lat_b = jnp.asarray(rs.randn(t, h // 8, w // 8, 4), jnp.float32)
+    xT_a = jnp.asarray(rs.randn(t, h // 8, w // 8, 4), jnp.float32)
+    xT_b = jnp.asarray(rs.randn(t, h // 8, w // 8, 4), jnp.float32)
+    ctx1 = pipe.embed_empty_prompt(params, t)
+    ctx2 = pipe.embed_empty_prompt(params, 2 * t)
+    scfg = SamplerConfig(num_frames=t, guidance_scale=-5.0, temperature=0.0)
+    key = jax.random.PRNGKey(7)
+
+    out_a = sample_video(
+        pipe.sched, pipe.denoise_fn(params, lat_a, ctx1), xT_a, key, scfg,
+        (ffa, fba), (moa, mba)).latents
+    out_b = sample_video(
+        pipe.sched, pipe.denoise_fn(params, lat_b, ctx1), xT_b, key, scfg,
+        (ffb, fbb), (mob, mbb)).latents
+    out_2 = sample_video(
+        pipe.sched,
+        pipe.denoise_fn(params, jnp.concatenate([lat_a, lat_b]), ctx2),
+        jnp.concatenate([xT_a, xT_b]), key, scfg,
+        (ff2, fb2), (mo2, mb2)).latents
+    np.testing.assert_allclose(
+        np.asarray(out_2), np.concatenate([out_a, out_b]),
+        rtol=2e-4, atol=2e-4)
+
+    # 3) the full batched restore runs end-to-end
+    out = pipe.restore_segment(params, both, jax.random.PRNGKey(2))
+    assert out.shape == (2 * t, h, w, 3)
+    assert np.isfinite(np.asarray(out)).all()
