@@ -169,8 +169,11 @@ def main(argv=None):
     ap.add_argument("--window-batch", type=int, default=1,
                     help="fixed mode, single device: batch N consecutive "
                          "num_frames windows into one compiled restore call "
-                         "(pure throughput — each window computes exactly "
-                         "what a solo call would)")
+                         "(throughput lever; deterministic computation is "
+                         "bitwise-equal to solo calls, but the batch shares "
+                         "one RNG key so noise realizations differ — "
+                         "statistically, not bitwise, equivalent at "
+                         "temperature>0)")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--no-bf16", dest="bf16", action="store_false")
@@ -216,7 +219,12 @@ def main(argv=None):
 
     rng = jax.random.PRNGKey(args.seed)
     n_dev = len(jax.devices())
-    if args.window_parallel and args.mode == "fixed" and n_dev > 1:
+    # one flag decides BOTH the group size and the group dispatch below:
+    # --window-parallel with a single device falls back to --window-batch
+    # batching rather than hitting restore_windows_sharded's one-device-
+    # per-window assertion
+    use_sharded = args.window_parallel and args.mode == "fixed" and n_dev > 1
+    if use_sharded:
         group_size = n_dev
     elif args.mode == "fixed":
         group_size = max(1, args.window_batch)
@@ -250,7 +258,7 @@ def main(argv=None):
                 ups = np.concatenate(
                     [np.asarray(upscale_frames(f, pipe.cfg.sf))
                      for _, _, f in group])
-                if args.window_parallel:
+                if use_sharded:
                     # consecutive windows, one per device, halo-coupled
                     out_all = np.asarray(pipe.restore_windows_sharded(
                         params, jax.numpy.asarray(ups), key,

@@ -306,10 +306,13 @@ def initial_latents(
     z_lq: jnp.ndarray,
     rng: jax.Array,
     t_start: int = 999,
+    noise: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """x_T = q_sample(z_lq, t_start) under the ORIGINAL (non-respaced)
     schedule — the 'noise LQ latent to the top' initialisation
-    (scripts/vsr_val_ddpm_text_T_vqganfin_old.py:332-343)."""
-    noise = jax.random.normal(rng, z_lq.shape, dtype=z_lq.dtype)
+    (scripts/vsr_val_ddpm_text_T_vqganfin_old.py:332-343). ``noise``
+    overrides the rng draw (parity tests inject a known tensor)."""
+    if noise is None:
+        noise = jax.random.normal(rng, z_lq.shape, dtype=z_lq.dtype)
     t = jnp.full((z_lq.shape[0],), t_start, dtype=jnp.int32)
     return q_sample(base_sched, z_lq, t, noise)

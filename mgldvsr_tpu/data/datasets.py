@@ -28,10 +28,21 @@ REDS4_CLIPS = ("000", "011", "015", "020")
 
 
 def _imread(path: str) -> np.ndarray:
+    """cv2 load: float32 [0,1], cv2-native **BGR** order (the degradation
+    chain runs in BGR exactly like the reference's pre-img2tensor stage;
+    datasets flip to RGB at their return boundary — see _bgr2rgb)."""
     img = cv2.imread(path, cv2.IMREAD_COLOR)
     if img is None:
         raise FileNotFoundError(path)
     return img.astype(np.float32) / 255.0
+
+
+def _bgr2rgb(clip: np.ndarray) -> np.ndarray:
+    """BGR->RGB at the dataset return boundary — the counterpart of the
+    reference's img2tensor(bgr2rgb=True) (realbasicvsr_dataset.py:236,
+    single_video_dataset.py:302-304): degradations see BGR, the model
+    sees RGB."""
+    return np.ascontiguousarray(clip[..., ::-1])
 
 
 def paired_random_crop(gts: List[np.ndarray], size: int,
@@ -191,8 +202,8 @@ class RealVSRRecurrentDataset:
             results = self.stage2(results, rng)
         results = self.clipper(results)
         return {
-            "lqs": np.stack(results["lqs"]).astype(np.float32),
-            "gts": np.stack(results["gts"]).astype(np.float32),
+            "lqs": _bgr2rgb(np.stack(results["lqs"]).astype(np.float32)),
+            "gts": _bgr2rgb(np.stack(results["gts"]).astype(np.float32)),
             "clip": clip,
             "indices": np.asarray(idxs, np.int32),
         }
@@ -239,15 +250,15 @@ class REDSAutoencoderDataset:
             for n in names
         ]
         out = {
-            "gts": np.stack(gts).astype(np.float32),
-            "lqs": np.stack(lqs).astype(np.float32),
+            "gts": _bgr2rgb(np.stack(gts).astype(np.float32)),
+            "lqs": _bgr2rgb(np.stack(lqs).astype(np.float32)),
             "lts": np.stack(lts).astype(np.float32),
             "clip": clip,
         }
         if self.roots["sample"]:
-            out["sps"] = np.stack(
+            out["sps"] = _bgr2rgb(np.stack(
                 [_imread(os.path.join(self.roots["sample"], clip, n)) for n in names]
-            ).astype(np.float32)
+            ).astype(np.float32))
         return out
 
 
@@ -279,7 +290,9 @@ class VideoFolderDataset:
             names = [os.path.basename(p) for p in chunk]
             while self.pad_last and len(chunk) < self.num_frame:
                 chunk.append(chunk[-1])
-            frames = np.stack([_imread(p) for p in chunk])
+            # RGB like the reference's inference loader (old.py:107-108
+            # PIL .convert("RGB")); cli/infer.py writes out[..., ::-1]
+            frames = _bgr2rgb(np.stack([_imread(p) for p in chunk]))
             yield clip, names, frames
 
 

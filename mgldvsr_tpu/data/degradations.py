@@ -10,13 +10,14 @@ rescale.
 
 These run in numpy/cv2 on the host feed path — exactly where the reference
 runs them (DataLoader workers); the TPU never sees codec emulation.
-Video compression uses cv2.VideoWriter when a codec is available and
-degrades gracefully to identity otherwise (PyAV/FFmpeg are not in this
-image).
+Video compression is PyAV-first (exact reference codec/bitrate semantics
+when the dependency exists) with a cv2.VideoWriter fallback, degrading to
+identity when no codec is available.
 
-Convention: clips are lists of float32 HWC arrays in [0, 1] (matching the
-reference pipeline layout before RescaleToZeroOne; blur/noise/jpeg operate
-in that range as the reference does).
+Convention: clips are lists of float32 HWC arrays in [0, 1], in cv2's
+**BGR** channel order (matching the reference pipeline layout before
+img2tensor(bgr2rgb=True)/RescaleToZeroOne; datasets flip to RGB at their
+return boundary, exactly where the reference does).
 """
 from __future__ import annotations
 
@@ -238,11 +239,32 @@ class RandomJPEGCompression:
         return results
 
 
-def _video_codec_available() -> Optional[str]:
-    """Probe cv2.VideoWriter for a usable mp4 codec."""
-    for fourcc in ("mp4v", "avc1", "XVID"):
+try:  # PyAV gives the reference's exact codec path when installed
+    import av as _av
+
+    logging.getLogger("libav").setLevel(50)
+except Exception:  # pragma: no cover - this image ships no PyAV
+    _av = None
+
+
+# fourcc candidates per reference codec name for the cv2 fallback
+_CV2_FOURCC = {
+    "libx264": ("avc1", "h264", "X264", "mp4v"),
+    "h264": ("avc1", "h264", "X264", "mp4v"),
+    "mpeg4": ("mp4v",),
+    "mp4v": ("mp4v",),
+}
+_FOURCC_CACHE: Dict[str, Optional[str]] = {}
+
+
+def _probe_fourcc(codec: str) -> Optional[str]:
+    """First cv2.VideoWriter fourcc that actually opens for ``codec``."""
+    if codec in _FOURCC_CACHE:
+        return _FOURCC_CACHE[codec]
+    found = None
+    for fourcc in _CV2_FOURCC.get(codec, ("mp4v",)):
         try:
-            path = tempfile.mktemp(suffix=".mp4" if fourcc != "XVID" else ".avi")
+            path = tempfile.mktemp(suffix=".mp4")
             w = cv2.VideoWriter(
                 path, cv2.VideoWriter_fourcc(*fourcc), 25, (32, 32)
             )
@@ -251,65 +273,118 @@ def _video_codec_available() -> Optional[str]:
             if os.path.exists(path):
                 os.remove(path)
             if ok:
-                return fourcc
+                found = fourcc
+                break
         except Exception:
             continue
-    return None
-
-
-_VIDEO_FOURCC = None
-_VIDEO_PROBED = False
+    _FOURCC_CACHE[codec] = found
+    return found
 
 
 class RandomVideoCompression:
-    """Lossy video codec round trip (reference: PyAV h264/mpeg4 in-memory,
-    random_degradations.py:455-513). This image has no FFmpeg/PyAV, so we
-    use cv2.VideoWriter when a codec exists; if none does, the transform is
-    an identity with a one-time warning (capability gated)."""
+    """Lossy video-codec round trip on the clip.
+
+    Reference: random_degradations.py:455-525 — PyAV in-memory mp4 with
+    ``codec`` sampled from ``params['codec']``/``params['codec_prob']`` and
+    ``bit_rate ~ U{bitrate[0]..bitrate[1]}``, frames handed to the encoder
+    labeled ``rgb24``. Note the reference's frames are cv2-loaded **BGR**
+    at that point (realbasicvsr_dataset.py:198 ``imfrombytes`` +
+    img2tensor's bgr2rgb only at the very end), so its effective transform
+    runs the YUV matrix with R/B swapped relative to the true colors; our
+    clips are BGR here too, so passing them through identically labeled
+    reproduces the reference's exact degradation distribution.
+
+    - PyAV present: exact reference semantics (codec, bitrate, yuv420p,
+      rate=1, flush), in-memory.
+    - PyAV absent (this image): cv2.VideoWriter fallback with the nearest
+      available fourcc. cv2 expects BGR input and our data is BGR, so the
+      frames are channel-reversed before write/after read to reproduce the
+      reference's R/B-swapped YUV mapping. cv2 exposes no bitrate control —
+      the sampled bitrate is drawn (same RNG stream) but unused; quantizer
+      defaults apply (distribution approximation, documented).
+    - no codec at all: identity with a one-time warning (capability gated).
+    """
 
     def __init__(self, params: Dict, keys: Sequence[str] = ("lqs",)):
         self.params = params
         self.keys = keys
+        self._warned = False
+
+    def _pyav_roundtrip(self, u8_frames: List[np.ndarray], codec: str,
+                        bitrate: int) -> Optional[List[np.ndarray]]:
+        buf = io.BytesIO()
+        with _av.open(buf, "w", "mp4") as container:
+            stream = container.add_stream(codec, rate=1)
+            stream.height = u8_frames[0].shape[0]
+            stream.width = u8_frames[0].shape[1]
+            stream.pix_fmt = "yuv420p"
+            stream.bit_rate = bitrate
+            for img in u8_frames:
+                frame = _av.VideoFrame.from_ndarray(img, format="rgb24")
+                frame.pict_type = "NONE"
+                for packet in stream.encode(frame):
+                    container.mux(packet)
+            for packet in stream.encode():
+                container.mux(packet)
+        out = []
+        with _av.open(buf, "r", "mp4") as container:
+            if container.streams.video:
+                for frame in container.decode(**{"video": 0}):
+                    out.append(frame.to_rgb().to_ndarray())
+        return out or None
+
+    def _cv2_roundtrip(self, u8_frames: List[np.ndarray],
+                       codec: str) -> Optional[List[np.ndarray]]:
+        fourcc = _probe_fourcc(codec)
+        if fourcc is None:
+            return None
+        h, w = u8_frames[0].shape[:2]
+        path = tempfile.mktemp(suffix=".mp4")
+        try:
+            writer = cv2.VideoWriter(
+                path, cv2.VideoWriter_fourcc(*fourcc), 25, (w, h)
+            )
+            for img in u8_frames:
+                # reverse channels: cv2 maps input ch0->B_enc; the
+                # reference's rgb24 mislabel maps data ch0->R_enc
+                writer.write(np.ascontiguousarray(img[:, :, ::-1]))
+            writer.release()
+            cap = cv2.VideoCapture(path)
+            out = []
+            for _ in u8_frames:
+                ok, img = cap.read()
+                if not ok:
+                    break
+                out.append(np.ascontiguousarray(img[:, :, ::-1]))
+            cap.release()
+            return out if len(out) == len(u8_frames) else None
+        finally:
+            if os.path.exists(path):
+                os.remove(path)
 
     def __call__(self, results: Dict, rng: np.random.RandomState) -> Dict:
-        global _VIDEO_FOURCC, _VIDEO_PROBED
-        if not _VIDEO_PROBED:
-            _VIDEO_FOURCC = _video_codec_available()
-            _VIDEO_PROBED = True
-            if _VIDEO_FOURCC is None:
-                logger.warning(
-                    "no video codec available (no FFmpeg/PyAV); "
-                    "RandomVideoCompression is a no-op"
-                )
-        if _VIDEO_FOURCC is None:
+        if rng.uniform() > self.params.get("prob", 1):
             return results
         for key in self.keys:
             frames = results[key]
-            h, w = frames[0].shape[:2]
-            suffix = ".avi" if _VIDEO_FOURCC == "XVID" else ".mp4"
-            path = tempfile.mktemp(suffix=suffix)
-            try:
-                writer = cv2.VideoWriter(
-                    path, cv2.VideoWriter_fourcc(*_VIDEO_FOURCC), 25, (w, h)
-                )
-                for f in frames:
-                    writer.write(
-                        np.clip(f * 255.0, 0, 255).astype(np.uint8)
-                    )
-                writer.release()
-                cap = cv2.VideoCapture(path)
-                out = []
-                for _ in frames:
-                    ok, img = cap.read()
-                    if not ok:
-                        break
-                    out.append(img.astype(np.float32) / 255.0)
-                cap.release()
-                if len(out) == len(frames):
-                    results[key] = out
-            finally:
-                if os.path.exists(path):
-                    os.remove(path)
+            codec = str(rng.choice(
+                self.params["codec"], p=self.params.get("codec_prob")))
+            lo, hi = self.params["bitrate"]
+            bitrate = int(rng.randint(int(lo), int(hi) + 1))
+            u8 = [np.clip(np.asarray(f, np.float32) * 255.0, 0, 255)
+                  .astype(np.uint8) for f in frames]
+            if _av is not None:
+                out = self._pyav_roundtrip(u8, codec, bitrate)
+            else:
+                out = self._cv2_roundtrip(u8, codec)
+            if out is None:
+                if not self._warned:
+                    self._warned = True
+                    logger.warning(
+                        "no usable video codec (no PyAV, cv2 fourcc probe "
+                        "failed); RandomVideoCompression is a no-op")
+                continue
+            results[key] = [o.astype(np.float32) / 255.0 for o in out]
         return results
 
 

@@ -147,12 +147,16 @@ class MGLDVSRPipeline:
 
     # -- stages ------------------------------------------------------------
 
-    def encode(self, params, frames_pm1: jnp.ndarray, rng: jax.Array):
-        """frames in [-1,1] -> (scaled latent, multi-scale LQ features)."""
+    def encode(self, params, frames_pm1: jnp.ndarray, rng: jax.Array,
+               sample_posterior: bool = True):
+        """frames in [-1,1] -> (scaled latent, multi-scale LQ features).
+        ``sample_posterior=False`` takes the posterior mode (parity/
+        deterministic runs)."""
         moments, enc_fea = self.vae.apply(
             params["vae"], frames_pm1, method="encode"
         )
-        z = DiagonalGaussian(moments).sample(rng)
+        g = DiagonalGaussian(moments)
+        z = g.sample(rng) if sample_posterior else g.mode()
         return self.cfg.scale_factor * z, enc_fea
 
     def decode(self, params, latents: jnp.ndarray, enc_fea,
@@ -211,28 +215,38 @@ class MGLDVSRPipeline:
         rng: jax.Array,
         dec_w: Optional[float] = None,
         use_guidance: bool = True,
+        deterministic: bool = False,
     ) -> jnp.ndarray:
         """[B*T, H, W, 3] target-size frames in [0,1] -> SR frames in [0,1].
 
         B >= 1 independent ``num_frames`` windows may be batched in one call
         (flows/guidance/temporal attention never cross window boundaries) —
         the single-chip throughput lever for the MXU's batch appetite.
-        Jit-compatible: wrap in jax.jit (static self)."""
+        Jit-compatible: wrap in jax.jit (static self).
+
+        ``deterministic=True`` zeroes every noise draw (posterior mode,
+        x_T noise=0, sampler temperature=0) — the protocol-parity mode the
+        reference-composition oracle runs both sides in (torch and JAX RNGs
+        cannot draw identical gaussians)."""
         cfg = self.cfg
         k_enc, k_xt, k_samp = jax.random.split(rng, 3)
         frames_pm1 = frames_01 * 2.0 - 1.0
 
-        init_latent, enc_fea = self.encode(params, frames_pm1, k_enc)
+        init_latent, enc_fea = self.encode(
+            params, frames_pm1, k_enc, sample_posterior=not deterministic)
         context = self.embed_empty_prompt(params, frames_01.shape[0])
         flows, masks = (
             self.compute_flows(params, frames_01) if use_guidance else (None, None)
         )
-        x_T = initial_latents(self.base_sched, init_latent, k_xt)
+        x_T = initial_latents(
+            self.base_sched, init_latent, k_xt,
+            noise=jnp.zeros_like(init_latent) if deterministic else None)
 
         scfg = SamplerConfig(
             num_frames=cfg.num_frames,
             guidance_scale=cfg.guidance_scale,
             guidance_mode=cfg.guidance_mode,
+            temperature=0.0 if deterministic else 1.0,
         )
         out = sample_video(
             self.sched,

@@ -25,7 +25,7 @@ are converted via ``.numpy()`` if torch is available, else expected as numpy.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping, Optional, Sequence
+from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -1625,13 +1625,80 @@ def load_torch_state_dict(path: str) -> Dict[str, Any]:
     }
 
 
+def apply_litema_shadows(
+    sd: Mapping[str, Any],
+    used: Optional[set] = None,
+) -> Tuple[Dict[str, Any], int]:
+    """Swap ``model.*`` weights for their LitEma shadow buffers.
+
+    The reference samples inside ``model.ema_scope()`` (scripts
+    vsr_val...old.py:321), which copies the EMA shadows onto the live
+    model first (ldm/models/diffusion/ddpm.py:294-307). LitEma stores one
+    shadow buffer per trainable param under the param's dotted name with
+    the dots REMOVED (ldm/modules/ema.py:16-21), so a use_ema-trained
+    Lightning checkpoint carries ``model_ema.diffusion_modelinput_blocks...``
+    keys whose tensors are the effective inference weights. We reconstruct
+    the dotted->flat mapping from the checkpoint's own ``model.*`` keys
+    (unambiguous: derived names are checked for collisions) and substitute.
+
+    Returns (new state dict, number of params replaced). No ``model_ema.*``
+    keys -> the dict is returned unchanged with count 0.
+    """
+    shadows = {
+        k[len("model_ema."):]: v
+        for k, v in sd.items()
+        if k.startswith("model_ema.")
+        and k not in ("model_ema.decay", "model_ema.num_updates")
+    }
+    out = dict(sd)
+    if not shadows:
+        return out, 0
+    flat_to_key: Dict[str, str] = {}
+    n = 0
+    for k in sd:
+        if not k.startswith("model."):
+            continue
+        flat = k[len("model."):].replace(".", "")
+        if flat in flat_to_key:
+            raise ValueError(
+                f"ambiguous LitEma flattened name {flat!r}: both "
+                f"{flat_to_key[flat]!r} and {k!r} map to it")
+        flat_to_key[flat] = k
+        if flat in shadows:
+            out[k] = shadows[flat]
+            n += 1
+            if used is not None:
+                used.add("model_ema." + flat)
+    unmatched = set(shadows) - set(flat_to_key)
+    if unmatched:
+        raise KeyError(
+            f"{len(unmatched)} model_ema.* shadows have no matching "
+            f"model.* param, e.g. {sorted(unmatched)[:3]}")
+    if used is not None:
+        for aux in ("model_ema.decay", "model_ema.num_updates"):
+            if aux in sd:
+                used.add(aux)
+    return out, n
+
+
 def convert_mgld_checkpoint(
     sd: Mapping[str, Any],
     report_unused: bool = False,
+    use_ema: bool = True,
 ) -> Dict[str, Any]:
     """Full MGLD-VSR Lightning checkpoint -> pipeline param dict
-    {'unet', 'structcond', 'vae', 'clip'} (flow nets ship separately)."""
+    {'unet', 'structcond', 'vae', 'clip'} (flow nets ship separately).
+
+    ``use_ema=True`` (default) prefers LitEma shadow weights when the
+    checkpoint carries ``model_ema.*`` keys — matching the reference's
+    ``ema_scope()`` inference protocol (scripts old.py:321)."""
     used: set = set()
+    n_ema = 0
+    if use_ema:
+        sd, n_ema = apply_litema_shadows(sd, used=used)
+    if n_ema:
+        print(f"[ckpt_convert] LitEma shadows applied: {n_ema} model params "
+              "use EMA weights (ema_scope protocol)")
     out = {
         "unet": convert_unet(sd, used=used),
         "structcond": convert_structcond(sd, used=used),
@@ -1641,6 +1708,7 @@ def convert_mgld_checkpoint(
     if report_unused:
         unused = sorted(set(sd) - used)
         out["_unused_keys"] = unused
+        out["_ema_shadows_applied"] = n_ema
     return out
 
 

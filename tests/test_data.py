@@ -316,3 +316,93 @@ def test_degradations_with_shuffle_groups_and_partial_idx():
     # the group's resize-to-8 must have run regardless of shuffle order
     assert out["lqs"][0].shape == (8, 8, 3)
     assert all(np.isfinite(f).all() for f in out["lqs"])
+
+
+# --- RandomVideoCompression (PyAV-first, cv2 fallback) ---------------------
+
+
+def test_video_compression_roundtrip_preserves_colors():
+    """The codec roundtrip must return frames in the ORIGINAL channel
+    order (the reference's rgb24 mislabel swaps channels into and back out
+    of the encoder — net identity on assignment, lossy on values). A red
+    BGR frame must come back red, not blue."""
+    from mgldvsr_tpu.data.degradations import RandomVideoCompression
+
+    h, w = 64, 64
+    red_bgr = np.zeros((h, w, 3), np.float32)
+    red_bgr[..., 2] = 0.9  # BGR: channel 2 = R
+    frames = [red_bgr.copy() for _ in range(4)]
+    tr = RandomVideoCompression(
+        {"codec": ["mpeg4"], "codec_prob": [1.0],
+         "bitrate": [1e4, 1e5]}, keys=("lqs",))
+    out = tr({"lqs": frames}, np.random.RandomState(0))["lqs"]
+    assert len(out) == 4
+    if np.allclose(out[0], red_bgr):  # no codec available -> identity path
+        return
+    for f in out:
+        assert f.shape == (h, w, 3) and f.dtype == np.float32
+        # red channel dominant, blue near zero (swap bug would invert this)
+        assert f[..., 2].mean() > 0.5, f.mean(axis=(0, 1))
+        assert f[..., 0].mean() < 0.3, f.mean(axis=(0, 1))
+
+
+def test_video_compression_prob_gate_and_sampling():
+    """prob gate skips the transform (reference random_degradations.py:515);
+    codec/bitrate are sampled from the configured distribution."""
+    from mgldvsr_tpu.data.degradations import RandomVideoCompression
+
+    frames = [np.random.RandomState(i).rand(32, 32, 3).astype(np.float32)
+              for i in range(3)]
+    tr = RandomVideoCompression(
+        {"codec": ["libx264", "h264", "mpeg4"],
+         "codec_prob": [0.3333, 0.3333, 0.3334],
+         "bitrate": [1e4, 1e5], "prob": 0.0}, keys=("lqs",))
+    out = tr({"lqs": [f.copy() for f in frames]}, np.random.RandomState(1))
+    for a, b in zip(out["lqs"], frames):
+        np.testing.assert_array_equal(a, b)  # gated off -> untouched
+
+    # applied: mpeg4 through whatever backend exists
+    tr2 = RandomVideoCompression(
+        {"codec": ["mpeg4"], "codec_prob": [1.0], "bitrate": [1e4, 1e5]},
+        keys=("lqs",))
+    out2 = tr2({"lqs": [f.copy() for f in frames]},
+               np.random.RandomState(2))["lqs"]
+    assert len(out2) == 3
+    assert all(f.shape == (32, 32, 3) for f in out2)
+
+
+@pytest.mark.skipif(
+    not pytest.importorskip("importlib").util.find_spec("av"),
+    reason="PyAV not installed (cv2 fallback covered above)")
+def test_video_compression_pyav_matches_reference():
+    """With PyAV present, our transform must match the reference's
+    _apply_random_compression byte-for-byte given the same codec/bitrate
+    draw (random_degradations.py:473-513)."""
+    import sys
+    sys.path.insert(0, "/root/reference")
+    from basicsr.data.mmcv_transforms.random_degradations import (
+        RandomVideoCompression as RefRVC,
+    )
+
+    from mgldvsr_tpu.data.degradations import RandomVideoCompression
+
+    rs = np.random.RandomState(7)
+    frames01 = [rs.rand(64, 64, 3).astype(np.float32) for _ in range(5)]
+    frames255 = [f * 255.0 for f in frames01]
+
+    import random as pyrandom
+
+    import numpy as _np
+    ref = RefRVC({"codec": ["mpeg4"], "codec_prob": [1.0],
+                  "bitrate": [50000, 50000]}, keys=["lqs"])
+    pyrandom.seed(0)
+    _np.random.seed(0)
+    ref_out = ref({"lqs": [f.copy() for f in frames255]})["lqs"]
+
+    ours = RandomVideoCompression(
+        {"codec": ["mpeg4"], "codec_prob": [1.0],
+         "bitrate": [50000, 50000]}, keys=("lqs",))
+    our_out = ours({"lqs": [f.copy() for f in frames01]},
+                   np.random.RandomState(0))["lqs"]
+    for a, b in zip(our_out, ref_out):
+        np.testing.assert_allclose(a * 255.0, b, atol=1e-3)

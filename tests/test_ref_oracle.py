@@ -1204,3 +1204,410 @@ def test_guided_p_sample_loop_oracle():
         masks=(jnp.asarray(occ_f), jnp.asarray(occ_b)))
     np.testing.assert_allclose(
         np.asarray(out.latents), nhwc(out_ref), atol=2e-3)
+
+
+# --------------------------------------------------------------------------
+# LitEma shadow-weight conversion (ema_scope inference protocol)
+# --------------------------------------------------------------------------
+
+
+def test_litema_shadow_conversion_oracle():
+    """Checkpoint EMA handling vs the reference's own LitEma.
+
+    The reference samples inside ``model.ema_scope()`` (scripts
+    vsr_val...old.py:321), which copies LitEma shadow buffers onto the
+    live model (ldm/models/diffusion/ddpm.py:294-307; ema.py:47-55). A
+    use_ema-trained Lightning checkpoint therefore stores the effective
+    inference weights under ``model_ema.<dots-removed-name>``
+    (ema.py:16-21). This test wraps a tiny reference UNet in the REAL
+    LitEma, diverges the live weights, takes an EMA update, builds the
+    Lightning-style state dict, and asserts that
+    ``apply_litema_shadows`` + ``convert_unet`` produce EXACTLY the tree
+    that converting the post-``copy_to`` (= ema_scope) weights would.
+    """
+    from ldm.modules.diffusionmodules.openaimodel import (
+        InflatedUNetModelDualcondV2,
+    )
+    from ldm.modules.ema import LitEma
+
+    t, hw, ctx_dim, semb = 2, 16, 32, 32
+    ref = InflatedUNetModelDualcondV2(
+        image_size=hw, in_channels=4, model_channels=32, out_channels=4,
+        num_res_blocks=2, attention_resolutions=[1, 2], channel_mult=[1, 2],
+        num_frames=t, num_head_channels=16, use_spatial_transformer=True,
+        use_linear_in_transformer=True, transformer_depth=1,
+        context_dim=ctx_dim, legacy=False, semb_channels=semb,
+    )
+    ref.load_state_dict(
+        {k: torch.as_tensor(v) for k, v in randomize(ref, 21).items()})
+
+    # DDPM wraps the UNet as self.model.diffusion_model (ddpm.py:4911-4940)
+    # and builds LitEma over self.model — shadow names carry the
+    # 'diffusion_model' prefix with all dots stripped
+    wrapper = torch.nn.Module()
+    wrapper.diffusion_model = ref
+    ema = LitEma(wrapper, decay=0.5, use_num_upates=False)
+    with torch.no_grad():
+        for p in wrapper.parameters():
+            p.add_(torch.randn_like(p))
+    ema(wrapper)  # one EMA update: shadows = midpoint(raw init, live)
+
+    sd = {f"model.diffusion_model.{k}": v.clone()
+          for k, v in ref.state_dict().items()}
+    sd.update({f"model_ema.{k}": v.clone()
+               for k, v in ema.state_dict().items()})
+    assert "model_ema.decay" in sd and "model_ema.num_updates" in sd
+
+    used = set()
+    new_sd, n = cc.apply_litema_shadows(sd, used=used)
+    n_params = sum(1 for _ in wrapper.parameters())
+    assert n == n_params and n > 0
+    # every model_ema.* key (incl. decay/num_updates) is accounted for
+    assert {k for k in sd if k.startswith("model_ema.")} <= used
+
+    kw = dict(prefix="model.diffusion_model.", channel_mult=(1, 2),
+              num_res_blocks=2, attention_resolutions=(1, 2))
+    params_from_shadows = cc.convert_unet(new_sd, **kw)
+
+    # oracle: what ema_scope() would actually sample with
+    ema.copy_to(wrapper)
+    sd_scope = {f"model.diffusion_model.{k}": v
+                for k, v in ref.state_dict().items()}
+    params_scope = cc.convert_unet(sd_scope, **kw)
+
+    from flax import traverse_util
+    a = traverse_util.flatten_dict(params_from_shadows, sep="/")
+    b = traverse_util.flatten_dict(params_scope, sep="/")
+    assert set(a) == set(b)
+    n_diff_from_raw = 0
+    raw = traverse_util.flatten_dict(cc.convert_unet(sd, **kw), sep="/")
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+        if not np.array_equal(a[k], raw[k]):
+            n_diff_from_raw += 1
+    # the check is non-trivial: EMA weights differ from the raw ones
+    assert n_diff_from_raw > 0.9 * len(a)
+
+    # use_ema=False must leave raw weights untouched
+    same_sd, n0 = cc.apply_litema_shadows(
+        {k: v for k, v in sd.items() if not k.startswith("model_ema.")})
+    assert n0 == 0
+
+
+# --------------------------------------------------------------------------
+# Colorfix + ImageSpliterTh: the reference scripts' own post/stitch code
+# --------------------------------------------------------------------------
+
+
+def _load_ref_script(name):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        f"ref_{name}", os.path.join(_REF, "scripts", f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_colorfix_oracle():
+    """adain + wavelet colorfix vs the reference's own
+    scripts/wavelet_color_fix.py (lines 59-119), replacing the round-1
+    hand-derived torch re-implementation."""
+    from mgldvsr_tpu.infer.colorfix import (
+        adain_color_fix,
+        wavelet_color_fix,
+    )
+
+    ref = _load_ref_script("wavelet_color_fix")
+
+    rs = np.random.RandomState(33)
+    tgt = rs.uniform(size=(2, 31, 29, 3)).astype(np.float32)
+    src = rs.uniform(size=(2, 31, 29, 3)).astype(np.float32)
+    t_tgt, t_src = nchw(tgt), nchw(src)
+
+    out_wav = ref.wavelet_reconstruction(t_tgt, t_src)
+    ours_wav = np.asarray(wavelet_color_fix(jnp.asarray(tgt), jnp.asarray(src)))
+    np.testing.assert_allclose(ours_wav, nhwc(out_wav), atol=2e-5)
+
+    out_adain = ref.adaptive_instance_normalization(t_tgt, t_src)
+    ours_adain = np.asarray(adain_color_fix(jnp.asarray(tgt), jnp.asarray(src)))
+    np.testing.assert_allclose(ours_adain, nhwc(out_adain), atol=2e-5)
+
+    # PIL wrapper path (clamps + uint8 roundtrip, old.py:376-379)
+    from PIL import Image
+    pil_t = Image.fromarray((tgt[0] * 255).round().astype(np.uint8))
+    pil_s = Image.fromarray((src[0] * 255).round().astype(np.uint8))
+    ref_img = np.asarray(ref.wavelet_color_fix(pil_t, pil_s)).astype(np.float32)
+    t8 = (tgt[0:1] * 255).round().astype(np.float32) / 255.0
+    s8 = (src[0:1] * 255).round().astype(np.float32) / 255.0
+    ours_img = np.asarray(
+        jnp.clip(wavelet_color_fix(jnp.asarray(t8), jnp.asarray(s8)), 0, 1)
+    )[0] * 255.0
+    assert np.abs(ours_img.round() - ref_img).max() <= 1.0
+
+
+def test_image_spliter_gather_oracle():
+    """ImageSpliter split/gather vs the reference's ImageSpliterTh
+    (scripts/util_image.py:686-769): identical patch grid and identical
+    overlap-averaged gather through an arbitrary per-patch transform."""
+    from mgldvsr_tpu.infer.canvas import ImageSpliter
+
+    ui = _load_ref_script("util_image")
+
+    rs = np.random.RandomState(44)
+    for (h, w, pch, stride) in [(70, 90, 32, 24), (31, 33, 32, 24),
+                                (64, 64, 64, 48), (100, 52, 48, 30)]:
+        im = rs.uniform(size=(2, 3, h, w)).astype(np.float32)
+
+        def transform(p):  # arbitrary, position-sensitive
+            return p * 2.0 + p.mean()
+
+        ref_sp = ui.ImageSpliterTh(torch.from_numpy(im), pch, stride, sf=1)
+        for pch_t, idx in ref_sp:
+            ref_sp.update(transform(pch_t), idx)
+        ref_out = ref_sp.gather().numpy()
+
+        frames = jnp.asarray(im.transpose(0, 2, 3, 1))
+        ours_sp = ImageSpliter(frames.shape, pch_size=pch, stride=stride)
+        patches = [np.asarray(transform(p)) for p, _ in ours_sp.split(frames)]
+        ours = ours_sp.gather(patches).transpose(0, 3, 1, 2)
+
+        np.testing.assert_allclose(ours, ref_out, atol=1e-6,
+                                   err_msg=f"{h}x{w} pch={pch} stride={stride}")
+
+
+# --------------------------------------------------------------------------
+# FULL-PROTOCOL COMPOSITION: the reference old.py glue as ONE unit vs
+# pipeline.restore_segment
+# --------------------------------------------------------------------------
+
+
+def test_full_protocol_composition_oracle():
+    """Runs the reference inference script's COMPLETE per-segment protocol
+    (scripts/vsr_val_ddpm_text_T_vqganfin_old.py:291-396) through the
+    reference's own modules — VideoAutoencoderKLResi encode,
+    get_first_stage_encoding x0.18215, q_sample_respace x_T at t=999 on the
+    deep-copied FULL schedule, RAFT compute_flow + resize_flow x0.125 +
+    occlusion masks, the script's space_timesteps respacing +
+    re-register_schedule + ori_timesteps t_replace, the guided
+    p_sample_loop, decode(samples/0.18215, enc_fea), AdaIN colorfix,
+    clamp((x+1)/2) — and asserts `pipeline.restore_segment` reproduces the
+    WHOLE composition on converted weights.
+
+    Every noise draw is zeroed on both sides (posterior mode, x_T noise=0,
+    sampler temperature=0 via restore_segment(deterministic=True); torch/
+    JAX RNGs cannot draw identical gaussians — stochastic terms are covered
+    by the golden sampler tests). The CLIP text context is computed once by
+    our tower and fed to both sides (the tower itself has its own oracle in
+    test_ckpt_convert.py)."""
+    import copy as _copy
+
+    import ldm.models.diffusion.ddpm as rddpm
+    from basicsr.archs.arch_util import resize_flow as ref_resize_flow
+    from basicsr.archs.raft_arch import RAFT_SR
+    from einops import rearrange
+    from ldm.models.autoencoder import VideoAutoencoderKLResi as RefVQ
+    from ldm.models.diffusion.ddpm import (
+        DiffusionWrapper,
+        LatentDiffusionVSRTextWT,
+    )
+    from ldm.modules.diffusionmodules.openaimodel import (
+        InflatedEncoderUNetModelWT,
+    )
+    from ldm.modules.distributions.distributions import (
+        DiagonalGaussianDistribution,
+    )
+
+    from mgldvsr_tpu.flow.raft import RAFTConfig
+    from mgldvsr_tpu.infer.pipeline import MGLDVSRPipeline, PipelineConfig
+    from mgldvsr_tpu.models.cliptext import CLIPTextConfig
+    from mgldvsr_tpu.models.unet import StructCondConfig, UNetConfig
+    from mgldvsr_tpu.models.vae import VAEConfig
+
+    ref_cf = _load_ref_script("wavelet_color_fix")
+    ref_uf = _load_ref_script("util_flow")
+
+    t, px, ctx_dim, semb, steps = 2, 128, 32, 32, 25
+    hw = px // 8  # latent 16x16
+    gscale, dec_w = -10.0, 0.7
+    ls, le = 0.00085, 0.0120
+
+    # ---- reference towers (tiny widths, full topology) -------------------
+    unet_params = dict(
+        image_size=hw, in_channels=4, model_channels=32, out_channels=4,
+        num_res_blocks=2, attention_resolutions=[1, 2], channel_mult=[1, 2],
+        num_frames=t, num_head_channels=16, use_spatial_transformer=True,
+        use_linear_in_transformer=True, transformer_depth=1,
+        context_dim=ctx_dim, legacy=False, semb_channels=semb)
+    wrapper = DiffusionWrapper(
+        {"target":
+         "ldm.modules.diffusionmodules.openaimodel.InflatedUNetModelDualcondV2",
+         "params": unet_params}, conditioning_key="crossattn")
+    sd_unet = randomize(wrapper.diffusion_model, 51)
+
+    structcond = InflatedEncoderUNetModelWT(
+        image_size=hw, in_channels=4, model_channels=32, out_channels=semb,
+        num_res_blocks=2, attention_resolutions=[1, 2], channel_mult=[1, 1],
+        num_heads=4, num_frames=t)
+    sd_sc = randomize(structcond, 52)
+
+    ddconfig = dict(double_z=True, z_channels=4, resolution=px,
+                    in_channels=3, out_ch=3, ch=32, ch_mult=(1, 1, 2, 2),
+                    num_res_blocks=1, attn_resolutions=[], dropout=0.0,
+                    num_frames=t, num_fuse_block=1)
+    vq_model = RefVQ(ddconfig, lossconfig={"target": "torch.nn.Identity"},
+                     embed_dim=4, fusion_w=dec_w, freeze_dec=False)
+    sd_vq = randomize(vq_model, 53)
+    vq_model.load_state_dict({k: torch.as_tensor(v) for k, v in sd_vq.items()})
+    vq_model.decoder.fusion_w = dec_w  # old.py:250
+    vq_model.eval()
+
+    ref_raft = RAFT_SR(model="normal")
+    sd_raft = randomize(ref_raft, 54)
+    for k in ("update_block.flow_head.conv2.weight",
+              "update_block.flow_head.conv2.bias"):
+        sd_raft[k] = sd_raft[k] * 0.02  # sub-pixel deltas (see raft oracle)
+    ref_raft.load_state_dict(sd_raft)
+    ref_raft.eval()
+
+    # ---- FakeLD: the reference's own methods over a mock self ------------
+    class FakeLD(torch.nn.Module):
+        register_schedule = rddpm.DDPM.register_schedule
+        predict_start_from_noise = rddpm.DDPM.predict_start_from_noise
+        q_posterior = rddpm.DDPM.q_posterior
+        q_sample = rddpm.DDPM.q_sample
+        q_sample_respace = rddpm.DDPM.q_sample_respace
+        p_sample_loop = LatentDiffusionVSRTextWT.p_sample_loop
+        p_sample = LatentDiffusionVSRTextWT.p_sample
+        p_mean_variance = LatentDiffusionVSRTextWT.p_mean_variance
+        apply_model = LatentDiffusionVSRTextWT.apply_model
+        compute_flow = LatentDiffusionVSRTextWT.compute_flow
+        compute_temporal_condition_v4 = (
+            LatentDiffusionVSRTextWT.compute_temporal_condition_v4)
+
+    fake = FakeLD()
+    fake.num_frames = t
+    fake.parameterization = "eps"
+    fake.v_posterior = 0.0
+    fake.clip_denoised = False
+    fake.log_every_t = 10_000
+    fake.shorten_cond_schedule = False
+    fake.model = wrapper
+    fake.structcond_stage_model = structcond
+    fake.flownet_model = lambda a, b: ref_raft(a, b, iters=3)
+
+    # the script's schedule dance (old.py:262-283): 1000-step linear, keep
+    # the full sqrt-alphas, respace to `steps` betas, ori_timesteps
+    fake.register_schedule(beta_schedule="linear", timesteps=1000,
+                           linear_start=ls, linear_end=le)
+    sac_full = _copy.deepcopy(fake.sqrt_alphas_cumprod)
+    somac_full = _copy.deepcopy(fake.sqrt_one_minus_alphas_cumprod)
+    spaced = rddpm.space_timesteps(1000, [steps])
+    use_timesteps = set(spaced)
+    last_ac, new_betas, tmap = 1.0, [], []
+    for i, ac in enumerate(fake.alphas_cumprod):
+        if i in use_timesteps:
+            new_betas.append(1 - ac / last_ac)
+            last_ac = ac
+            tmap.append(i)
+    new_betas = np.array([float(b) for b in new_betas])
+    fake.register_schedule(given_betas=new_betas, timesteps=len(new_betas))
+    fake.ori_timesteps = sorted(use_timesteps)
+
+    # ---- our pipeline + converted weights --------------------------------
+    cfg = PipelineConfig(
+        num_frames=t, ddpm_steps=steps, guidance_scale=gscale, dec_w=dec_w,
+        colorfix="adain", flow_scale=1.0,
+        unet=UNetConfig(model_channels=32, num_head_channels=16,
+                        context_dim=ctx_dim, semb_channels=semb,
+                        channel_mult=(1, 2), attention_resolutions=(1, 2),
+                        num_frames=t),
+        structcond=StructCondConfig(model_channels=32, out_channels=semb,
+                                    channel_mult=(1, 1),
+                                    attention_resolutions=(1, 2),
+                                    num_heads=4, num_frames=t),
+        vae=VAEConfig(ch=32, ch_mult=(1, 1, 2, 2), num_res_blocks=1,
+                      attn_resolutions=(), resolution=px, z_channels=4,
+                      num_frames=t, enable_fusion=True, num_fuse_block=1),
+        clip=CLIPTextConfig(width=ctx_dim, heads=2, layers=2),
+        raft=RAFTConfig(iters=3),
+    )
+    pipe = MGLDVSRPipeline(cfg)
+    np.testing.assert_array_equal(np.asarray(pipe.sched.timestep_map),
+                                  np.asarray(fake.ori_timesteps))
+
+    clip_params = pipe.clip.init(
+        jax.random.PRNGKey(9),
+        __import__("mgldvsr_tpu.models.cliptext", fromlist=["x"])
+        .empty_prompt_tokens(t, cfg.clip.context_length))
+    params = {
+        "unet": cc.to_jax(cc.convert_unet(
+            sd_unet, prefix="", channel_mult=(1, 2), num_res_blocks=2,
+            attention_resolutions=(1, 2))),
+        "structcond": cc.to_jax(cc.convert_structcond(
+            sd_sc, prefix="", channel_mult=(1, 1), model_channels=32,
+            num_res_blocks=2, attention_resolutions=(1, 2), num_heads=4)),
+        "vae": cc.to_jax(cc.convert_autoencoder(
+            sd_vq, prefix="", video=True, fusion=True, ch_mult=(1, 1, 2, 2),
+            num_res_blocks=1, attn_resolutions=(), resolution=px)),
+        "raft": cc.to_jax(cc.convert_raft(sd_raft)),
+        "clip": clip_params,
+    }
+
+    rs = np.random.RandomState(55)
+    frames01 = rs.rand(t, px, px, 3).astype(np.float32)
+    ctx = np.asarray(pipe.embed_empty_prompt(params, t), np.float32)
+
+    # ---- reference protocol, verbatim glue (old.py:328-379) --------------
+    orig_noise_like = rddpm.noise_like
+    orig_dg_sample = DiagonalGaussianDistribution.sample
+    rddpm.noise_like = lambda shape, device, repeat=False: torch.zeros(
+        shape, device=device)
+    DiagonalGaussianDistribution.sample = lambda self: self.mean
+    try:
+        with torch.no_grad():
+            init_image = (nchw(frames01) * 2.0 - 1.0).clamp(-1, 1)
+            posterior, enc_fea_lq = vq_model.encode(init_image)
+            init_latent = 0.18215 * posterior.sample()
+            tt = torch.full((t,), 999, dtype=torch.long)
+            x_T = fake.q_sample_respace(
+                x_start=init_latent, t=tt, sqrt_alphas_cumprod=sac_full,
+                sqrt_one_minus_alphas_cumprod=somac_full,
+                noise=torch.zeros_like(init_latent))
+            init_image_0_1 = torch.clamp(
+                (init_image + 1.0) / 2.0, min=0.0, max=1.0).unsqueeze(0)
+            flows = fake.compute_flow(init_image_0_1)
+            flows = [rearrange(f, "b t c h w -> (b t) c h w") for f in flows]
+            flows = [ref_resize_flow(f, size_type="ratio",
+                                     sizes=(0.125, 0.125)) for f in flows]
+            flows = [rearrange(f, "(b t) c h w -> b t c h w", t=t - 1)
+                     for f in flows]
+            fwd_occ_list, bwd_occ_list = [], []
+            for i in range(t - 1):
+                fo, bo = ref_uf.forward_backward_consistency_check(
+                    flows[0][:, i], flows[1][:, i], alpha=0.01, beta=0.5)
+                fwd_occ_list.append(fo.unsqueeze_(1))
+                bwd_occ_list.append(bo.unsqueeze_(1))
+            masks = (torch.stack(fwd_occ_list, dim=1),
+                     torch.stack(bwd_occ_list, dim=1))
+        # p_sample runs guidance autograd inside no_grad scopes itself
+        samples = fake.p_sample_loop(
+            torch.from_numpy(ctx), init_latent, (t, 4, hw, hw),
+            guidance_scale=gscale, flows=flows, masks=masks, x_T=x_T,
+            verbose=False, timesteps=steps, time_replace=steps)
+        with torch.no_grad():
+            x_samples = vq_model.decode(samples * (1.0 / 0.18215), enc_fea_lq)
+            x_samples = ref_cf.adaptive_instance_normalization(
+                x_samples, init_image)
+            out_ref = torch.clamp((x_samples + 1.0) / 2.0, min=0.0, max=1.0)
+    finally:
+        rddpm.noise_like = orig_noise_like
+        DiagonalGaussianDistribution.sample = orig_dg_sample
+
+    # ---- ours: the composed unit -----------------------------------------
+    ours = pipe.restore_segment(
+        params, jnp.asarray(frames01), jax.random.PRNGKey(0),
+        deterministic=True)
+    np.testing.assert_allclose(np.asarray(ours), nhwc(out_ref), atol=5e-3)
+    # non-degenerate: the restore actually moved the pixels
+    assert float(np.abs(np.asarray(ours) - frames01).mean()) > 1e-3
