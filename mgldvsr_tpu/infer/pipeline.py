@@ -444,6 +444,7 @@ class MGLDVSRPipeline:
         devices: Optional[Sequence] = None,
         dec_w: Optional[float] = None,
         boundary_weight: float = 1.0,
+        deterministic: bool = False,
     ) -> jnp.ndarray:
         """[D*t, H, W, 3] CONSECUTIVE target-size frames in [0,1] -> SR.
 
@@ -453,8 +454,13 @@ class MGLDVSRPipeline:
         so the motion-guided correction is also enforced ACROSS window
         boundaries — beyond the reference's independent per-GPU windows
         (scripts old.py:294-296). At ``boundary_weight=0`` each window
-        follows the per-window guided sampler's trajectory (sampler-level
-        equivalence is asserted in tests/test_sharded_sampler.py).
+        follows the per-window guided sampler's trajectory: sampler-level
+        equivalence is asserted in tests/test_sharded_sampler.py, and
+        FULL-pipeline equivalence against per-window ``restore_segment``
+        (validating the ``extra=`` struct-cond shard_map routing with the
+        real UNet) in tests/test_window_parallel.py, both sides run with
+        ``deterministic=True`` (all noise draws zeroed; noise realizations
+        otherwise differ between one D-window draw and D solo draws).
         """
         import numpy as np
 
@@ -482,7 +488,9 @@ class MGLDVSRPipeline:
         frames_01 = jax.device_put(frames_01, bsh)
         frames_pm1 = frames_01 * 2.0 - 1.0
         init_latent, enc_fea = jax.jit(
-            lambda p, f, k: self.encode(p, f, k))(params, frames_pm1, k_enc)
+            lambda p, f, k: self.encode(
+                p, f, k, sample_posterior=not deterministic))(
+                    params, frames_pm1, k_enc)
         context_t = self.embed_empty_prompt(params, t)  # same rows ∀ frames
 
         # per-window flows + boundary-pair flows, one jitted program
@@ -523,11 +531,14 @@ class MGLDVSRPipeline:
         bflow = jax.device_put(bflow, bsh)
         bocc = jax.device_put(bocc, bsh)
 
-        x_T = initial_latents(self.base_sched, init_latent, k_xt)
+        x_T = initial_latents(
+            self.base_sched, init_latent, k_xt,
+            noise=jnp.zeros_like(init_latent) if deterministic else None)
         scfg = SamplerConfig(
             num_frames=t,
             guidance_scale=cfg.guidance_scale,
             guidance_mode=cfg.guidance_mode,
+            temperature=0.0 if deterministic else 1.0,
         )
 
         def dn(x, t_orig, struct_local):

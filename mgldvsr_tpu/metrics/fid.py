@@ -43,6 +43,14 @@ def extract_features(
 
 
 def calculate_activation_statistics(feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    if feats.shape[0] <= feats.shape[-1]:
+        import warnings
+
+        warnings.warn(
+            f"FID statistics from {feats.shape[0]} samples of dim "
+            f"{feats.shape[-1]}: the covariance is singular (need > dim "
+            "samples, canonically >=2048 images) — the resulting FID is "
+            "not comparable across runs", stacklevel=2)
     mu = np.mean(feats, axis=0)
     sigma = np.cov(feats, rowvar=False)
     return mu, sigma
@@ -56,6 +64,12 @@ def calculate_fid(
     diff = mu1 - mu2
     covmean = linalg.sqrtm(sigma1 @ sigma2)
     if not np.isfinite(covmean).all():
+        import warnings
+
+        warnings.warn(
+            f"fid sqrtm produced non-finite values; retrying with a "
+            f"{eps} diagonal offset (expected with singular covariances "
+            "from too few samples)", stacklevel=2)
         offset = np.eye(sigma1.shape[0]) * eps
         covmean = linalg.sqrtm((sigma1 + offset) @ (sigma2 + offset))
     if np.iscomplexobj(covmean):

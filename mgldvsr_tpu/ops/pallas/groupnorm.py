@@ -43,7 +43,16 @@ def _pick_rows(h: int, w: int, c: int, itemsize: int,
 
 def channel_sums(x: jnp.ndarray, interpret: bool | None = None):
     """x: [N, H, W, C] (any float dtype) -> (sum, sumsq) each [N, C] fp32,
-    reduced over (H, W) — one HBM pass over x."""
+    reduced over (H, W) — one HBM pass over x.
+
+    Differentiable (custom VJP): d(sum)/dx = 1, d(sumsq)/dx = 2x — so the
+    stage-2 trainer can backprop through the Pallas GN stats used by the
+    video decoder at large spatial sizes (pallas_call itself has no
+    autodiff rule and raises a bare AssertionError under jax.grad)."""
+    return _channel_sums_vjp(x, interpret)
+
+
+def _channel_sums_impl(x: jnp.ndarray, interpret: bool | None):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n, h, w, c = x.shape
@@ -68,6 +77,28 @@ def channel_sums(x: jnp.ndarray, interpret: bool | None = None):
         interpret=interpret,
     )(x)
     return s1[:, 0, :], s2[:, 0, :]
+
+
+import functools as _ft_cs
+
+
+@_ft_cs.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _channel_sums_vjp(x, interpret):
+    return _channel_sums_impl(x, interpret)
+
+
+def _channel_sums_fwd(x, interpret):
+    return _channel_sums_impl(x, interpret), x
+
+
+def _channel_sums_bwd(interpret, x, grads):
+    g1, g2 = grads  # each [N, C] fp32
+    dx = (g1[:, None, None, :] + 2.0 * x.astype(jnp.float32)
+          * g2[:, None, None, :])
+    return (dx.astype(x.dtype),)
+
+
+_channel_sums_vjp.defvjp(_channel_sums_fwd, _channel_sums_bwd)
 
 
 # ---------------------------------------------------------------------------

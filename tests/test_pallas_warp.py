@@ -147,3 +147,21 @@ def test_fused_group_norm_matches_flax():
     got = fused_group_norm(x, scale, bias, 32, 1e-5, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_gn_channel_sums_grad():
+    """channel_sums must be differentiable (stage-2 backprops through the
+    video decoder's Pallas GN stats): d(sum)/dx = 1, d(sumsq)/dx = 2x.
+    Regression for the bare pallas_call AssertionError under jax.grad that
+    killed the 512px stage-2 train bench (round 3)."""
+    from mgldvsr_tpu.ops.pallas.groupnorm import channel_sums
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 8, 32))
+
+    def f(z):
+        s1, s2 = channel_sums(z, interpret=True)
+        return jnp.sum(s1 * 0.3) + jnp.sum(s2 * 0.7)
+
+    g = jax.grad(f)(x)
+    np.testing.assert_allclose(
+        np.asarray(g), 0.3 + 1.4 * np.asarray(x), atol=1e-5)

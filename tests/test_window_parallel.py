@@ -49,3 +49,35 @@ def test_restore_windows_sharded_rejects_bad_counts(tiny_pipe):
     frames = np.zeros((3, 32, 32, 3), np.float32)  # not a multiple of t=2
     with pytest.raises(AssertionError, match="multiple of num_frames"):
         pipe.restore_windows_sharded(params, frames, jax.random.PRNGKey(1))
+
+
+def test_restore_windows_sharded_equals_per_window_restore(tiny_pipe):
+    """PIPELINE-level equivalence (VERDICT r2 #4): with boundary_weight=0
+    and all noise zeroed on both sides (deterministic=True), the sharded
+    windows-parallel restore must reproduce per-window `restore_segment`
+    exactly — this drives the REAL UNet through the shard_map `extra=`
+    struct-cond routing, which the dummy-denoiser sampler test cannot
+    validate."""
+    import jax
+    import jax.numpy as jnp
+
+    pipe = tiny_pipe
+    t = pipe.cfg.num_frames
+    d = 2
+    devices = jax.devices()[:d]
+    params = pipe.init_params(jax.random.PRNGKey(0), 32, 32)
+    frames = jax.random.uniform(jax.random.PRNGKey(1), (d * t, 32, 32, 3))
+    key = jax.random.PRNGKey(2)
+
+    sharded = np.asarray(pipe.restore_windows_sharded(
+        params, frames, key, devices=devices, boundary_weight=0.0,
+        deterministic=True))
+
+    for di in range(d):
+        win = np.asarray(pipe.restore_segment(
+            params, frames[di * t:(di + 1) * t], key, deterministic=True))
+        # atol: encode diffs of ~4e-7 (batch-size-dependent conv algorithm
+        # reassociation) amplify to ~3.5e-5 through 4 guided steps + decode
+        np.testing.assert_allclose(
+            sharded[di * t:(di + 1) * t], win, atol=1e-4,
+            err_msg=f"window {di}")

@@ -38,3 +38,5 @@ run tile512        timeout 5400 python bench.py --mode tile --pch-size 512 --pch
 run tile960        timeout 5400 python bench.py --mode tile --pch-size 960 --pch-stride 750 --iters 2
 
 echo "=== [$(date +%H:%M:%S)] QUEUE COMPLETE" | tee -a "$OUT/queue.log"
+# NOTE (round-3 lesson): any side script that initializes JAX without
+# pinning JAX_PLATFORMS=cpu grabs the axon TPU and OOMs the running bench.
