@@ -36,10 +36,13 @@ def main():
     ap.add_argument("--size", type=int, default=None, help="input (=output) px size")
     ap.add_argument("--frames", type=int, default=5)
     ap.add_argument("--iters", type=int, default=3, help="timed repetitions")
-    ap.add_argument("--windows", type=int, default=1,
+    ap.add_argument("--windows", type=int, default=None,
                     help="segment mode: independent num_frames windows "
                          "batched per call (throughput lever; windows are "
-                         "processed exactly as separate segments would be)")
+                         "processed exactly as separate segments would be). "
+                         "Default 4 at full scale (the measured-best batch "
+                         "on v5e 16GB: 1.84 vs 1.63 fps solo; equivalence-"
+                         "tested), 1 for --tiny.")
     ap.add_argument("--baseline-fps", type=float, default=0.25)
     ap.add_argument("--no-guidance", action="store_true")
     ap.add_argument("--pch-size", type=int, default=960,
@@ -250,6 +253,8 @@ def main():
         }))
         return
 
+    if args.windows is None:
+        args.windows = 1 if args.tiny else 4
     nb = t * args.windows
     frames = jax.random.uniform(jax.random.PRNGKey(1), (nb, size, size, 3))
 
@@ -278,6 +283,7 @@ def main():
                 "value": round(fps, 4),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / args.baseline_fps, 3),
+                "windows": args.windows,
                 "baseline_fps": args.baseline_fps,
                 "baseline_provenance": (
                     "ESTIMATE (see BASELINE.md 'Anchor provenance'): the "
