@@ -129,14 +129,18 @@ def main():
                 unet=_dc.replace(cfg.unet, use_checkpoint=remat),
                 structcond=_dc.replace(cfg.structcond, use_checkpoint=remat),
             )
-            tpipe = MGLDVSRPipeline(tcfg)
-            tparams = tpipe.init_params(jax.random.PRNGKey(0), size, size)
-            trainer = Stage1Trainer(tpipe, Stage1Config(grad_accum=1))
-            state = trainer.init_state(tparams)
-            step_fn = jax.jit(trainer.train_step)
-            lq = jax.random.uniform(jax.random.PRNGKey(1), (t, size, size, 3))
-            gt = jax.random.uniform(jax.random.PRNGKey(2), (t, size, size, 3))
+            # everything device-touching inside the try: phase-1 r03 saw the
+            # OOM fire at init (device already full) and kill the process
             try:
+                tpipe = MGLDVSRPipeline(tcfg)
+                tparams = tpipe.init_params(jax.random.PRNGKey(0), size, size)
+                trainer = Stage1Trainer(tpipe, Stage1Config(grad_accum=1))
+                state = trainer.init_state(tparams)
+                step_fn = jax.jit(trainer.train_step)
+                lq = jax.random.uniform(
+                    jax.random.PRNGKey(1), (t, size, size, 3))
+                gt = jax.random.uniform(
+                    jax.random.PRNGKey(2), (t, size, size, 3))
                 state, m = jax.block_until_ready(
                     step_fn(state, lq, gt, jax.random.PRNGKey(3)))
                 times = []
@@ -152,10 +156,14 @@ def main():
                         stats.get("peak_bytes_in_use", 0) / 2**30, 3),
                 }
             except Exception as e:  # RESOURCE_EXHAUSTED on noremat
+                import traceback
+                tb = traceback.format_exc().splitlines()
                 results[key] = {"oom": True,
                                 "error": type(e).__name__,
-                                "detail": str(e).split("\n")[0][:200]}
-            del state, step_fn, trainer, tparams
+                                "detail": (str(e).split("\n")[0]
+                                           or repr(e))[:200],
+                                "at": " | ".join(tb[-4:-1])[:300]}
+            state = step_fn = trainer = tparams = tpipe = None  # release
         headline = results.get("remat", {}).get("steps_per_sec", 0.0)
         print(json.dumps({
             "metric": f"stage1 train steps/sec @{size}px {t}-frame clip"
@@ -170,15 +178,15 @@ def main():
     if args.mode == "train2":
         from mgldvsr_tpu.train.stage2 import Stage2Config, Stage2Trainer
 
-        trainer = Stage2Trainer(
-            cfg.vae, Stage2Config(grad_accum=1, num_frames=t))
-        state = trainer.init_state(jax.random.PRNGKey(0), size, size)
-        step_fn = jax.jit(trainer.train_step)
-        lq = jax.random.uniform(jax.random.PRNGKey(1), (t, size, size, 3))
-        gt = jax.random.uniform(jax.random.PRNGKey(2), (t, size, size, 3))
-        lat = jax.random.normal(
-            jax.random.PRNGKey(3), (t, size // 8, size // 8, 4))
         try:
+            trainer = Stage2Trainer(
+                cfg.vae, Stage2Config(grad_accum=1, num_frames=t))
+            state = trainer.init_state(jax.random.PRNGKey(0), size, size)
+            step_fn = jax.jit(trainer.train_step)
+            lq = jax.random.uniform(jax.random.PRNGKey(1), (t, size, size, 3))
+            gt = jax.random.uniform(jax.random.PRNGKey(2), (t, size, size, 3))
+            lat = jax.random.normal(
+                jax.random.PRNGKey(3), (t, size // 8, size // 8, 4))
             state, m = jax.block_until_ready(
                 step_fn(state, lq, gt, lat, jax.random.PRNGKey(4)))
             times = []
@@ -192,8 +200,11 @@ def main():
                       "peak_hbm_gb": round(
                           stats.get("peak_bytes_in_use", 0) / 2**30, 3)}
         except Exception as e:
+            import traceback
+            tb = traceback.format_exc().splitlines()
             detail = {"oom": True, "error": type(e).__name__,
-                      "detail": str(e).split("\n")[0][:200]}
+                      "detail": (str(e).split("\n")[0] or repr(e))[:200],
+                      "at": " | ".join(tb[-4:-1])[:300]}
         print(json.dumps({
             "metric": f"stage2 video-VAE GAN train steps/sec @{size}px"
                       f" {t}-frame clip",

@@ -47,8 +47,10 @@ def default_degradation_cfg():
             poisson_scale=[0.05, 3], poisson_gray_noise_prob=0.4,
             gaussian_sigma_step=0.1, poisson_scale_step=0.005)),
         random_jpeg=dict(params=dict(quality=[30, 95], quality_step=3)),
-        random_mpeg=dict(params=dict(codec=["mp4v"], codec_prob=[1.0],
-                                     bitrate=[1e4, 1e5])),
+        random_mpeg=dict(params=dict(
+            codec=["libx264", "h264", "mpeg4"],
+            codec_prob=[0.3333, 0.3333, 0.3334],
+            bitrate=[1e4, 1e5])),
     )
     blur2 = dict(blur, prob=0.8, sigma_x=[0.2, 1.5], sigma_y=[0.2, 1.5])
     deg2 = dict(
@@ -64,8 +66,10 @@ def default_degradation_cfg():
             poisson_scale=[0.05, 2.5], poisson_gray_noise_prob=0.4,
             gaussian_sigma_step=0.1, poisson_scale_step=0.005)),
         random_jpeg=dict(params=dict(quality=[30, 95], quality_step=3)),
-        random_mpeg=dict(params=dict(codec=["mp4v"], codec_prob=[1.0],
-                                     bitrate=[1e4, 1e5])),
+        random_mpeg=dict(params=dict(
+            codec=["libx264", "h264", "mpeg4"],
+            codec_prob=[0.3333, 0.3333, 0.3334],
+            bitrate=[1e4, 1e5])),
         resize_final=dict(params=dict(
             target_size=[128, 128], resize_opt=["bilinear", "area", "bicubic"],
             resize_prob=[0.3333, 0.3333, 0.3334])),

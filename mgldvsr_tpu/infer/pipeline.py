@@ -422,11 +422,21 @@ class MGLDVSRPipeline:
             outs = self._restore_patches_sharded(
                 params, patches, keys, devices, dec_w, use_guidance)
         else:
-            outs = [
-                np.asarray(self.restore_segment_canvas(
-                    params, patch, k, dec_w=dec_w, use_guidance=use_guidance))
-                for patch, k in zip(patches, keys)
-            ]
+            import os as _os
+            import time as _time
+            _prog = bool(_os.environ.get("MGLD_PROGRESS"))
+            outs = []
+            for pi, (patch, k) in enumerate(zip(patches, keys)):
+                if _prog:
+                    print(f"[restore_video] patch {pi + 1}/{len(patches)} "
+                          f"{tuple(patch.shape)} start", flush=True)
+                _t0 = _time.perf_counter()
+                outs.append(np.asarray(self.restore_segment_canvas(
+                    params, patch, k, dec_w=dec_w,
+                    use_guidance=use_guidance)))
+                if _prog:
+                    print(f"[restore_video] patch {pi + 1} done "
+                          f"{_time.perf_counter() - _t0:.1f}s", flush=True)
         full = spliter.gather(outs)
         full = full[:, : work_h, : work_w, :]
         if (work_h, work_w) != (target_h, target_w):

@@ -58,14 +58,20 @@ class SpatialTemporalConv(nn.Module):
         t = self.num_frames
         b = bt // t
         kernel, bias = _TemporalConvParams(c, name="temporal_conv")()
-        kernel = kernel.astype(self.dtype)
+        # One [C, 3C] matmul instead of three shifted [C, C] taps: the
+        # shifted input slices forced XLA to materialize a copy of the whole
+        # activation per tap (r03 decode trace: ~13 ms/call of [.,1,C]
+        # copies); reading x once and shifting the per-tap OUTPUTS keeps the
+        # big tensor traffic to a single read.
+        kmat = kernel[:, 0, 0].transpose(1, 0, 2).reshape(c, 3 * c)
         v = x.reshape(b, t, h, w, c).astype(self.dtype)
-        vpad = jnp.pad(v, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
-        res = None
-        for tap in range(3):
-            term = jnp.einsum("bthwc,cd->bthwd", vpad[:, tap : tap + t],
-                              kernel[tap, 0, 0])
-            res = term if res is None else res + term
+        prod = jnp.einsum("bthwc,cd->bthwd", v, kmat.astype(self.dtype))
+        prod = prod.reshape(b, t, h, w, 3, c)
+        ppad = jnp.pad(prod, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0),
+                              (0, 0)))
+        # out[t] = sum_k v[t+k-1] @ K_k = sum_k prod[t+k-1, k]
+        res = (ppad[:, 0:t, :, :, 0] + ppad[:, 1:t + 1, :, :, 1]
+               + ppad[:, 2:t + 2, :, :, 2])
         res = (res + bias.astype(self.dtype)).reshape(bt, h, w, c)
         alpha = self.param("alpha", nn.initializers.zeros, (1,), jnp.float32)
         alpha = alpha.astype(x.dtype)

@@ -21,6 +21,7 @@ Decoder_Mix / VideoDecoder_Mix zoo: ``num_frames>1`` enables temporal mixing,
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
@@ -114,9 +115,36 @@ class SimpleResBlock(nn.Module):
         return x + h
 
 
+class _ConvParams(nn.Module):
+    """Declares the kernel/bias of a 3x3 conv WITHOUT computing it — the
+    parameter tree is identical to ``nn.Conv(features, (3,3))`` under the
+    same name, so checkpoints and converters are unaffected when the owner
+    reorganizes the actual convolution arithmetic."""
+
+    cin: int
+    cout: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, self.cin, self.cout), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.cout,),
+                       jnp.float32)
+        return k, b
+
+
 class ResidualDenseBlock(nn.Module):
     """RRDB-style residual dense block (5 densely connected 3x3 convs,
-    LeakyReLU 0.2, 0.2-scaled residual)."""
+    LeakyReLU 0.2, 0.2-scaled residual).
+
+    TPU-first decomposition: the reference computes ``conv_j(cat(x, x1..
+    x_{j-1}))`` with 32 output channels — on the MXU a 32-lane output conv
+    runs at <10% utilization (r03 decode trace: ~35 ms/call across the fuse
+    blocks). Since conv over a concat is the sum of convs over the parts,
+    the five convs' x-slices are batched into ONE wide conv
+    ``x -> [g,g,g,g,num_feat]`` (MXU-shaped), and only the tiny incremental
+    convs over the 32-channel growth features stay narrow. Identical
+    parameters, identical math up to fp reassociation of partial sums."""
 
     num_feat: int
     num_grow_ch: int = 32
@@ -125,15 +153,59 @@ class ResidualDenseBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         lrelu = lambda z: nn.leaky_relu(z, negative_slope=0.2)
-        x1 = lrelu(conv3x3(self.num_grow_ch, self.dtype, name="conv1")(x))
-        x2 = lrelu(conv3x3(self.num_grow_ch, self.dtype, name="conv2")(
-            jnp.concatenate([x, x1], axis=-1)))
-        x3 = lrelu(conv3x3(self.num_grow_ch, self.dtype, name="conv3")(
-            jnp.concatenate([x, x1, x2], axis=-1)))
-        x4 = lrelu(conv3x3(self.num_grow_ch, self.dtype, name="conv4")(
-            jnp.concatenate([x, x1, x2, x3], axis=-1)))
-        x5 = conv3x3(self.num_feat, self.dtype, name="conv5")(
-            jnp.concatenate([x, x1, x2, x3, x4], axis=-1))
+        from mgldvsr_tpu.models.layers import int8_conv_enabled
+        if int8_conv_enabled() or os.environ.get("MGLD_RDB_DECOMP") == "0":
+            # experiment path: keep the literal concat structure so the
+            # int8 quantized conv modules see the full-width inputs
+            x1 = lrelu(conv3x3(self.num_grow_ch, self.dtype, name="conv1")(x))
+            x2 = lrelu(conv3x3(self.num_grow_ch, self.dtype, name="conv2")(
+                jnp.concatenate([x, x1], axis=-1)))
+            x3 = lrelu(conv3x3(self.num_grow_ch, self.dtype, name="conv3")(
+                jnp.concatenate([x, x1, x2], axis=-1)))
+            x4 = lrelu(conv3x3(self.num_grow_ch, self.dtype, name="conv4")(
+                jnp.concatenate([x, x1, x2, x3], axis=-1)))
+            x5 = conv3x3(self.num_feat, self.dtype, name="conv5")(
+                jnp.concatenate([x, x1, x2, x3, x4], axis=-1))
+            return x + 0.2 * x5
+
+        c = x.shape[-1]
+        g = self.num_grow_ch
+        k1, b1 = _ConvParams(c, g, name="conv1")()
+        k2, b2 = _ConvParams(c + g, g, name="conv2")()
+        k3, b3 = _ConvParams(c + 2 * g, g, name="conv3")()
+        k4, b4 = _ConvParams(c + 3 * g, g, name="conv4")()
+        k5, b5 = _ConvParams(c + 4 * g, self.num_feat, name="conv5")()
+
+        dt = self.dtype
+
+        def conv(inp, kern):
+            return jax.lax.conv_general_dilated(
+                inp.astype(dt), kern.astype(dt), (1, 1),
+                [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        # one MXU-wide conv covers every dense conv's x-slice
+        base_k = jnp.concatenate(
+            [k1, k2[:, :, :c], k3[:, :, :c], k4[:, :, :c], k5[:, :, :c]],
+            axis=-1)
+        base = conv(x, base_k)
+        y1 = base[..., :g]
+        y2 = base[..., g:2 * g]
+        y3 = base[..., 2 * g:3 * g]
+        y4 = base[..., 3 * g:4 * g]
+        y5 = base[..., 4 * g:]
+
+        cast = lambda b: b.astype(dt)
+        x1 = lrelu(y1 + cast(b1))
+        x2 = lrelu(y2 + cast(b2) + conv(x1, k2[:, :, c:]))
+        x3 = lrelu(y3 + cast(b3)
+                   + conv(jnp.concatenate([x1, x2], axis=-1), k3[:, :, c:]))
+        x4 = lrelu(y4 + cast(b4)
+                   + conv(jnp.concatenate([x1, x2, x3], axis=-1),
+                          k4[:, :, c:]))
+        x5 = (y5 + cast(b5)
+              + conv(jnp.concatenate([x1, x2, x3, x4], axis=-1),
+                     k5[:, :, c:]))
         return x + 0.2 * x5
 
 

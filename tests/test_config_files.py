@@ -28,7 +28,9 @@ def test_stage1_config_builds_pipeline_config():
     # degradation blocks carry the full recipe (spot-check a few constants)
     d1 = cfg["data"]["degradation_1"]
     assert d1["random_blur"]["params"]["kernel_size"][0] == 7
-    assert d1["random_mpeg"]["params"]["codec"] == ["mp4v"]
+    assert d1["random_mpeg"]["params"]["codec"] == ["libx264", "h264",
+                                                    "mpeg4"]
+    assert d1["random_mpeg"]["params"]["bitrate"] == [1e4, 1e5]
     assert cfg["train"]["grad_accum"] == 4 and cfg["train"]["ckpt_every"] == 3000
 
 

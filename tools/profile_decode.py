@@ -29,6 +29,9 @@ def main():
                     choices=["decode", "denoise", "encode"])
     ap.add_argument("--logdir", default="/tmp/mgld_prof")
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--consume", action="store_true",
+                    help="encode only: reduce outputs in-program so XLA "
+                         "chooses layouts freely (see comment)")
     ap.add_argument("--frames", type=int, default=5)
     ap.add_argument("--size", type=int, default=512)
     args = ap.parse_args()
@@ -64,7 +67,20 @@ def main():
                                     (t, size, size, 3)) * 2 - 1
 
     if args.stage == "encode":
-        fn = jax.jit(lambda p, f: pipe.encode(p, f, jax.random.PRNGKey(3)))
+        if args.consume:
+            # Consume the outputs inside the program: returning the raw
+            # (z, enc_fea) tuple pins default row-major layouts on the
+            # outputs, which XLA back-propagates into every conv (r03: the
+            # standalone encode ran 1.7 s vs ~0.1 s worth of in-pipeline
+            # ops). Summing frees the layout choice, measuring the cost the
+            # pipeline actually pays.
+            def enc_sum(p, f):
+                z, fea = pipe.encode(p, f, jax.random.PRNGKey(3))
+                return z.sum(), [x.sum() for x in fea]
+            fn = jax.jit(enc_sum)
+        else:
+            fn = jax.jit(
+                lambda p, f: pipe.encode(p, f, jax.random.PRNGKey(3)))
         call = lambda: fn(params, frames_pm1)
     elif args.stage == "decode":
         _, enc_fea = jax.jit(

@@ -50,8 +50,12 @@ def aggregate(xs, group: bool = False):
         stmeta = {m.id: m.name for m in plane.stat_metadata.values()}
         for line in plane.lines:
             lname = line.name.lower()
-            # XLA op lines carry per-op events; step lines duplicate time
-            if "step" in lname:
+            # Only the serialized core-execution line: 'XLA Modules' is the
+            # whole-program row (double counts everything) and 'Async XLA
+            # Ops' are DMA-queue copies that overlap compute — summing
+            # either inflates totals ~3x (r03 decode trace: 909 ms Ops,
+            # 909 ms Modules, 1409 ms Async for a 3x303 ms capture).
+            if lname != "xla ops":
                 continue
             for ev in line.events:
                 name = evmeta.get(ev.metadata_id, str(ev.metadata_id))
