@@ -121,9 +121,15 @@ def main():
         results = {}
         # remat first: without activation checkpointing the 512px 5-frame
         # step may not fit a single v5e chip at all (16 GB HBM) — an OOM on
-        # the noremat variant is itself a meaningful datapoint, not a crash
-        for remat in (True, False):
-            key = "remat" if remat else "noremat"
+        # the noremat variant is itself a meaningful datapoint, not a crash.
+        # remat+ema0+bf16mu: the single-chip memory floor (no EMA shadows,
+        # bf16 first moment) — r03 measured even remat OOMs at 512px with
+        # the full fp32 Adam+EMA state (~4x param bytes); multi-chip uses
+        # --zero1 sharding instead.
+        variants = (("remat", True, True, None),
+                    ("remat_lean", True, False, "bfloat16"),
+                    ("noremat", False, True, None))
+        for key, remat, use_ema, mu_dtype in variants:
             tcfg = _dc.replace(
                 cfg,
                 unet=_dc.replace(cfg.unet, use_checkpoint=remat),
@@ -134,8 +140,15 @@ def main():
             try:
                 tpipe = MGLDVSRPipeline(tcfg)
                 tparams = tpipe.init_params(jax.random.PRNGKey(0), size, size)
-                trainer = Stage1Trainer(tpipe, Stage1Config(grad_accum=1))
+                trainer = Stage1Trainer(
+                    tpipe, Stage1Config(grad_accum=1, use_ema=use_ema,
+                                        adam_mu_dtype=mu_dtype))
                 state = trainer.init_state(tparams)
+                jax.block_until_ready(jax.tree_util.tree_leaves(
+                    state.trainable)[0])
+                pre = jax.devices()[0].memory_stats() or {}
+                print(json.dumps({"variant": key, "static_hbm_gb": round(
+                    pre.get("bytes_in_use", 0) / 2**30, 3)}), flush=True)
                 step_fn = jax.jit(trainer.train_step)
                 lq = jax.random.uniform(
                     jax.random.PRNGKey(1), (t, size, size, 3))

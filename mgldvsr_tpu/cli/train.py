@@ -133,6 +133,9 @@ def main(argv=None):
     ap.add_argument("--num-frames", type=int, default=5)
     ap.add_argument("--lr", type=float, default=5e-5)
     ap.add_argument("--grad-accum", type=int, default=4)
+    ap.add_argument("--mu-dtype", default=None, choices=[None, "bfloat16"],
+                    help="Adam first-moment dtype (bfloat16 halves its "
+                         "bytes; variance stays fp32)")
     ap.add_argument("--ckpt-every", type=int, default=3000)
     ap.add_argument("--log-every", type=int, default=100)
     ap.add_argument("--image-every", type=int, default=750)
@@ -157,6 +160,11 @@ def main(argv=None):
     ap.add_argument("--tensor-parallel", type=int, default=1,
                     help="tensor axis size of the mesh (weights' out-dims "
                          "split megatron-style; degrades gracefully)")
+    ap.add_argument("--zero1", action="store_true",
+                    help="ZeRO stage-1: shard optimizer moments, grad-accum "
+                         "buffers and EMA shadows over the mesh's data axis "
+                         "(params stay replicated; each device holds 1/dp "
+                         "of the optimizer state)")
     if cfg.get("train"):
         known = {a.dest for a in ap._actions}
         defaults = {k: v for k, v in cfg["train"].items() if k in known}
@@ -253,7 +261,8 @@ def main(argv=None):
         )
         trainer = Stage1Trainer(
             pipe, Stage1Config(learning_rate=args.lr,
-                               grad_accum=args.grad_accum)
+                               grad_accum=args.grad_accum,
+                               adam_mu_dtype=args.mu_dtype)
         )
         if args.params:
             from mgldvsr_tpu.io.checkpoint import load_params
@@ -268,8 +277,14 @@ def main(argv=None):
             print(f"resumed at step {int(state.step)}", flush=True)
 
         if mesh is not None:
-            state = place_train_state(state, mesh)
-        step_fn = jax.jit(trainer.train_step)
+            state = place_train_state(state, mesh, zero1=args.zero1)
+        if mesh is not None and args.zero1:
+            from mgldvsr_tpu.parallel.mesh import state_shardings
+            # pin the updated state to its ZeRO-1 placement every step
+            step_fn = jax.jit(trainer.train_step,
+                              out_shardings=(state_shardings(state), None))
+        else:
+            step_fn = jax.jit(trainer.train_step)
         install_signal_save(lambda: (int(state.step), state), ckpt)
 
         rng = jax.random.PRNGKey(args.seed)
@@ -348,8 +363,14 @@ def main(argv=None):
             state = ckpt.restore(template=state)
 
         if mesh is not None:
-            state = place_train_state(state, mesh)
-        step_fn = jax.jit(trainer.train_step)
+            state = place_train_state(state, mesh, zero1=args.zero1)
+        if mesh is not None and args.zero1:
+            from mgldvsr_tpu.parallel.mesh import state_shardings
+            # pin the updated state to its ZeRO-1 placement every step
+            step_fn = jax.jit(trainer.train_step,
+                              out_shardings=(state_shardings(state), None))
+        else:
+            step_fn = jax.jit(trainer.train_step)
         install_signal_save(lambda: (int(state.step), state), ckpt)
         rng = jax.random.PRNGKey(args.seed)
         clips_per_step = (max(mesh.shape["data"] // proc_cnt, 1)

@@ -74,19 +74,53 @@ def _param_spec(path: tuple, leaf: Any, tp: int) -> P:
     return P(*([None] * (leaf.ndim - 1) + ["tensor"]))
 
 
-def shard_params(params, mesh: Mesh):
+# leaves below this many elements stay unsharded under ZeRO-1 (sharding
+# them saves nothing and costs collectives); tests lower it to exercise
+# the path on tiny models
+ZERO1_MIN_SIZE = 65536
+
+
+def _zero1_spec(leaf, base: P, dp: int) -> P:
+    """Add a 'data'-axis shard to ``base`` (the tensor-rule spec) for
+    ZeRO-1 state partitioning: pick the largest axis that is still
+    unsharded and divides evenly by dp."""
+    if dp <= 1 or not hasattr(leaf, "shape") or leaf.size < ZERO1_MIN_SIZE:
+        return base
+    dims = list(base) + [None] * (leaf.ndim - len(base))
+    best = -1
+    for i, d in enumerate(dims):
+        if d is None and leaf.shape[i] % dp == 0 and leaf.shape[i] >= dp:
+            if best < 0 or leaf.shape[i] > leaf.shape[best]:
+                best = i
+    if best < 0:
+        return base
+    dims[best] = "data"
+    return P(*dims)
+
+
+def shard_params(params, mesh: Mesh, zero1: bool = False):
     """Place a parameter pytree on the mesh according to the tensor rule.
 
     Also correct for optimizer states: Adam moments mirror their params'
     shapes and path names, so the same rule shards them identically (a
     replicated moment for a tensor-sharded param would defeat the tp
-    memory lever and force XLA reshards against sharded grads)."""
+    memory lever and force XLA reshards against sharded grads).
+
+    ``zero1=True`` additionally shards each leaf over the 'data' axis
+    (ZeRO stage-1): use for optimizer moments / EMA shadows / grad-accum
+    buffers, which are only ever read and written elementwise against
+    (replicated) params — each data-parallel device then holds 1/dp of
+    every moment, and XLA all-gathers the updates when they are applied
+    to the replicated params."""
     tp = mesh.shape["tensor"]
+    dp = mesh.shape["data"]
 
     def place(path, leaf):
         if not hasattr(leaf, "shape"):
             return leaf
         spec = _param_spec(tuple(str(k) for k in path), leaf, tp)
+        if zero1:
+            spec = _zero1_spec(leaf, spec, dp)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)
@@ -97,18 +131,37 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
-def place_train_state(state, mesh: Mesh):
+_ZERO1_FIELDS = ("opt_state", "opt_g", "opt_d", "ema")
+
+
+def place_train_state(state, mesh: Mesh, zero1: bool = False):
     """Place a trainer state on the mesh. Every field goes through the
     tensor-sharding rule — parameter trees AND optimizer moments (which
     mirror param shapes/paths, so they shard identically); everything
     else (counts, step, scalars) lands replicated via the P() fallback.
-    Works for Stage1 ``TrainState`` and Stage2 ``Stage2State``."""
+    Works for Stage1 ``TrainState`` and Stage2 ``Stage2State``.
+
+    ``zero1=True`` shards the optimizer moments, grad-accum buffers and
+    EMA shadows over the 'data' axis as well (ZeRO stage-1): on a dp-way
+    mesh each device keeps 1/dp of that state. For the flagship stage-1
+    config the fp32 Adam moments + EMA are ~3x the parameter bytes — the
+    difference between fitting a 512px train step on v5e-16GB chips or
+    not (r03 measurement: solo-chip 512px OOMs even with remat)."""
     updates = {
-        name: shard_params(getattr(state, name), mesh)
+        name: shard_params(getattr(state, name), mesh,
+                           zero1=zero1 and name in _ZERO1_FIELDS)
         for name in state._fields
         if getattr(state, name) is not None
     }
     return state._replace(**updates)
+
+
+def state_shardings(state):
+    """Pytree of ``NamedSharding`` mirroring a placed train state — pass as
+    ``jax.jit(..., out_shardings=(state_shardings(state), None))`` so the
+    updated state keeps its ZeRO-1 placement step over step instead of
+    whatever layout sharding propagation picks."""
+    return jax.tree_util.tree_map(lambda x: x.sharding, state)
 
 
 # ---------------------------------------------------------------------------

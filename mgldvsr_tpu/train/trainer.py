@@ -91,6 +91,10 @@ class Stage1Config:
     l_simple_weight: float = 1.0
     max_grad_norm: Optional[float] = None
     time_replace: Optional[int] = None  # train-time respacing (None = 1000)
+    # 'bfloat16' halves the first-moment bytes (the variance stays fp32 —
+    # bf16 nu is numerically unsafe); a single-chip memory lever for large
+    # inputs (512px stage-1 OOMs a 16GB v5e with fp32 moments, r03)
+    adam_mu_dtype: Optional[str] = None
 
 
 class TrainState(NamedTuple):
@@ -111,7 +115,9 @@ class Stage1Trainer:
             self.sched = respace_schedule(pipe.base_sched, cfg.time_replace)
         else:
             self.sched = pipe.base_sched
-        tx = optax.adamw(cfg.learning_rate)
+        mu_dtype = (jnp.dtype(cfg.adam_mu_dtype)
+                    if cfg.adam_mu_dtype else None)
+        tx = optax.adamw(cfg.learning_rate, mu_dtype=mu_dtype)
         if cfg.max_grad_norm:
             tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), tx)
         if cfg.grad_accum > 1:

@@ -197,3 +197,57 @@ def test_use_checkpoint_remat_matches_plain():
     assert np.allclose(float(l0), float(l1), rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
+
+
+def test_zero1_shards_opt_state_and_matches_unsharded():
+    """ZeRO-1 placement: optimizer moments + EMA shard over 'data', params
+    stay replicated, and one train step produces the same result as the
+    fully-replicated run."""
+    from mgldvsr_tpu.parallel import mesh as mesh_mod
+    from mgldvsr_tpu.parallel.mesh import place_train_state, state_shardings
+
+    pipe, trainer, state, _ = _setup()
+    t = pipe.cfg.num_frames
+    lq = jnp.asarray(np.random.RandomState(0).rand(t, 32, 32, 3), jnp.float32)
+    gt = jnp.asarray(np.random.RandomState(1).rand(t, 32, 32, 3), jnp.float32)
+
+    ref_state, ref_metrics = jax.jit(trainer.train_step)(
+        state, lq, gt, jax.random.PRNGKey(2))
+
+    mesh = make_mesh(8, tp=1)
+    old_min = mesh_mod.ZERO1_MIN_SIZE
+    mesh_mod.ZERO1_MIN_SIZE = 1  # tiny model: exercise the path anyway
+    try:
+        placed = place_train_state(state, mesh, zero1=True)
+    finally:
+        mesh_mod.ZERO1_MIN_SIZE = old_min
+
+    # moments sharded over 'data'; trainable params replicated
+    def specs(tree):
+        return [x.sharding.spec for x in jax.tree_util.tree_leaves(tree)
+                if hasattr(x, "sharding")]
+    assert any("data" in (s or ()) for s in specs(placed.opt_state)), \
+        "no opt-state leaf picked up a data shard"
+    assert any("data" in (s or ()) for s in specs(placed.ema))
+    assert all("data" not in (s or ()) for s in specs(placed.trainable))
+
+    with mesh:
+        step = jax.jit(trainer.train_step,
+                       out_shardings=(state_shardings(placed), None))
+        new_state, metrics = step(placed, lq, gt, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(ref_metrics["loss"]), rtol=1e-5)
+
+    # the updated state keeps the ZeRO-1 placement
+    assert any("data" in (s or ()) for s in specs(new_state.opt_state))
+
+    # parity with the unsharded step: not bitwise — resharding changes the
+    # reduction order of conv backward psums, and Adam's rsqrt amplifies
+    # those ulps — but a single step must stay within fp32 noise
+    ref_flat = traverse_util.flatten_dict(ref_state.trainable, sep="/")
+    new_flat = traverse_util.flatten_dict(new_state.trainable, sep="/")
+    for k in ref_flat:
+        np.testing.assert_allclose(np.asarray(new_flat[k]),
+                                   np.asarray(ref_flat[k]),
+                                   rtol=1e-2, atol=1e-4, err_msg=k)
