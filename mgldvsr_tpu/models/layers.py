@@ -196,13 +196,51 @@ class Int8Conv3x3(nn.Module):
         return y.astype(self.dtype)
 
 
+def pallas_conv_mode() -> str:
+    """MGLD_PALLAS_CONV: '1' force (interpret off-TPU), 'auto' on-TPU-only,
+    else off. Gates the shifted-matmul Pallas kernel for large stride-1
+    3x3 convs (ops/pallas/conv3x3.py)."""
+    import os
+
+    return os.environ.get("MGLD_PALLAS_CONV", "0").lower()
+
+
+class Conv(nn.Conv):
+    """nn.Conv that dispatches large stride-1 SAME 3x3 convs to the Pallas
+    shifted-matmul kernel (ops/pallas/conv3x3.py) when MGLD_PALLAS_CONV
+    enables it. Same class name as flax's Conv so auto-scope names and the
+    param tree ({kernel, bias}) are bit-identical — checkpoints and oracles
+    are unaffected by the dispatch."""
+
+    @nn.compact
+    def __call__(self, x):
+        mode = pallas_conv_mode()
+        use = (mode in ("1", "true", "on")
+               or (mode == "auto" and jax.default_backend() == "tpu"))
+        if use and self.kernel_size == (3, 3) and x.ndim == 4:
+            from mgldvsr_tpu.ops.pallas.conv3x3 import (conv3x3_applicable,
+                                                        conv3x3_pallas)
+
+            if conv3x3_applicable(x.shape, x.shape[-1], self.features,
+                                  self.strides):
+                kernel = self.param(
+                    "kernel", self.kernel_init,
+                    (3, 3, x.shape[-1], self.features), self.param_dtype)
+                bias = self.param("bias", self.bias_init, (self.features,),
+                                  self.param_dtype)
+                return conv3x3_pallas(
+                    x.astype(self.dtype), kernel.astype(self.dtype), bias,
+                    None if jax.default_backend() == "tpu" else True)
+        return super().__call__(x)
+
+
 def conv3x3(features: int, dtype: Dtype = jnp.float32, zero_init: bool = False,
             name: str | None = None, strides: int = 1):
     if int8_conv_enabled():
         return Int8Conv3x3(features, zero_init, strides, dtype, name=name)
     init = nn.initializers.zeros if zero_init else nn.initializers.lecun_normal()
-    return nn.Conv(features, (3, 3), strides=(strides, strides), padding=1,
-                   kernel_init=init, dtype=dtype, param_dtype=jnp.float32, name=name)
+    return Conv(features, (3, 3), strides=(strides, strides), padding=1,
+                kernel_init=init, dtype=dtype, param_dtype=jnp.float32, name=name)
 
 
 def conv1x1(features: int, dtype: Dtype = jnp.float32, zero_init: bool = False,

@@ -54,7 +54,7 @@ def main():
     ap.add_argument("--frames", type=int, default=5)
     ap.add_argument("--stage", default="all",
                     choices=["all", "denoise", "prep", "guidance", "canvas",
-                             "raft", "vae", "int8"])
+                             "raft", "vae", "int8", "pconv"])
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
 
@@ -231,6 +231,51 @@ def main():
                   f"  int8 {t_i8 * 1e3:7.3f} ms "
                   f"({gflop / t_i8 / 1e3:6.1f} Top/s)  "
                   f"speedup {t_bf / t_i8:5.2f}x")
+
+    if args.stage == "pconv":
+        # Pallas shifted-matmul conv vs XLA conv at the VAE decoder's hot
+        # stride-1 3x3 shapes (the 47-55%-MXU offenders in the r03 decode
+        # trace). ci==co everywhere so chained timing applies.
+        import functools
+
+        from mgldvsr_tpu.ops.pallas.conv3x3 import conv3x3_pallas
+
+        shapes = [
+            (t, 512, 512, 128),
+            (t, 256, 256, 256),
+            (t, 128, 128, 512),
+            (4 * t, 512, 512, 128),   # windows=4 batch
+        ]
+        dn = ("NHWC", "HWIO", "NHWC")
+        for (n, h, w, c) in shapes:
+            x = jax.random.normal(jax.random.PRNGKey(0), (n, h, w, c),
+                                  jnp.bfloat16)
+            k_ = (jax.random.normal(jax.random.PRNGKey(1), (3, 3, c, c))
+                  * 0.05).astype(jnp.bfloat16)
+            b_ = jnp.zeros((c,), jnp.float32)
+            conv = functools.partial(
+                jax.lax.conv_general_dilated, window_strides=(1, 1),
+                padding=((1, 1), (1, 1)), dimension_numbers=dn)
+            t_xla = timeit_amortized(lambda v: conv(v, k_) + b_, x,
+                                     n=16, iters=args.iters)
+            try:
+                t_pl = timeit_amortized(
+                    lambda v: conv3x3_pallas(v, k_, b_), x,
+                    n=16, iters=args.iters)
+                err = float(jnp.abs(
+                    conv3x3_pallas(x, k_, b_).astype(jnp.float32)
+                    - (conv(x, k_) + b_).astype(jnp.float32)).max())
+            except Exception as e:
+                t_pl, err = float("nan"), float("nan")
+                print(f"pallas conv failed at {n}x{h}x{w}x{c}: "
+                      f"{type(e).__name__} {e}")
+            gflop = 2 * n * h * w * c * c * 9 / 1e9
+            print(f"conv3x3 {n}x{h}x{w}x{c}: "
+                  f"xla {t_xla * 1e3:7.3f} ms ({gflop / t_xla / 1e3:6.1f} TF/s)"
+                  f"  pallas {t_pl * 1e3:7.3f} ms "
+                  f"({gflop / t_pl / 1e3:6.1f} TF/s)  "
+                  f"speedup {t_xla / t_pl:5.2f}x  maxerr {err:.4f}",
+                  flush=True)
 
     for k, v in res.items():
         print(f"{k:18s} {v * 1e3:9.2f} ms")
