@@ -122,10 +122,13 @@ def main():
         # remat first: without activation checkpointing the 512px 5-frame
         # step may not fit a single v5e chip at all (16 GB HBM) — an OOM on
         # the noremat variant is itself a meaningful datapoint, not a crash.
-        # remat+ema0+bf16mu: the single-chip memory floor (no EMA shadows,
-        # bf16 first moment) — r03 measured even remat OOMs at 512px with
-        # the full fp32 Adam+EMA state (~4x param bytes); multi-chip uses
-        # --zero1 sharding instead.
+        # Memory levers (r03: even 128px OOM'd without them): the TrainState
+        # is DONATED into the step (without donation XLA holds input+output
+        # copies of the full ~6.7 GiB state), and the frozen towers (5.0 of
+        # 5.4 GiB of params; bf16 compute regardless) are stored in bf16.
+        # remat_lean additionally drops the EMA shadows and stores the Adam
+        # first moment in bf16 — the single-chip memory floor; multi-chip
+        # uses --zero1 sharding instead.
         variants = (("remat", True, True, None),
                     ("remat_lean", True, False, "bfloat16"),
                     ("noremat", False, True, None))
@@ -142,14 +145,21 @@ def main():
                 tparams = tpipe.init_params(jax.random.PRNGKey(0), size, size)
                 trainer = Stage1Trainer(
                     tpipe, Stage1Config(grad_accum=1, use_ema=use_ema,
-                                        adam_mu_dtype=mu_dtype))
+                                        adam_mu_dtype=mu_dtype,
+                                        frozen_dtype=None if args.tiny
+                                        else "bfloat16"))
                 state = trainer.init_state(tparams)
                 jax.block_until_ready(jax.tree_util.tree_leaves(
                     state.trainable)[0])
                 pre = jax.devices()[0].memory_stats() or {}
+                state_gb = sum(
+                    x.size * x.dtype.itemsize
+                    for x in jax.tree_util.tree_leaves(state)
+                    if hasattr(x, "dtype")) / 2**30
                 print(json.dumps({"variant": key, "static_hbm_gb": round(
-                    pre.get("bytes_in_use", 0) / 2**30, 3)}), flush=True)
-                step_fn = jax.jit(trainer.train_step)
+                    pre.get("bytes_in_use", 0) / 2**30, 3),
+                    "state_gb": round(state_gb, 3)}), flush=True)
+                step_fn = jax.jit(trainer.train_step, donate_argnums=0)
                 lq = jax.random.uniform(
                     jax.random.PRNGKey(1), (t, size, size, 3))
                 gt = jax.random.uniform(
@@ -195,7 +205,7 @@ def main():
             trainer = Stage2Trainer(
                 cfg.vae, Stage2Config(grad_accum=1, num_frames=t))
             state = trainer.init_state(jax.random.PRNGKey(0), size, size)
-            step_fn = jax.jit(trainer.train_step)
+            step_fn = jax.jit(trainer.train_step, donate_argnums=0)
             lq = jax.random.uniform(jax.random.PRNGKey(1), (t, size, size, 3))
             gt = jax.random.uniform(jax.random.PRNGKey(2), (t, size, size, 3))
             lat = jax.random.normal(

@@ -281,10 +281,12 @@ def main(argv=None):
         if mesh is not None and args.zero1:
             from mgldvsr_tpu.parallel.mesh import state_shardings
             # pin the updated state to its ZeRO-1 placement every step
-            step_fn = jax.jit(trainer.train_step,
+            step_fn = jax.jit(trainer.train_step, donate_argnums=0,
                               out_shardings=(state_shardings(state), None))
         else:
-            step_fn = jax.jit(trainer.train_step)
+            # donate: without aliasing, XLA holds input+output copies of the
+            # full train state (2x ~GiB-scale on a 16 GB chip)
+            step_fn = jax.jit(trainer.train_step, donate_argnums=0)
         install_signal_save(lambda: (int(state.step), state), ckpt)
 
         rng = jax.random.PRNGKey(args.seed)
@@ -367,10 +369,12 @@ def main(argv=None):
         if mesh is not None and args.zero1:
             from mgldvsr_tpu.parallel.mesh import state_shardings
             # pin the updated state to its ZeRO-1 placement every step
-            step_fn = jax.jit(trainer.train_step,
+            step_fn = jax.jit(trainer.train_step, donate_argnums=0,
                               out_shardings=(state_shardings(state), None))
         else:
-            step_fn = jax.jit(trainer.train_step)
+            # donate: without aliasing, XLA holds input+output copies of the
+            # full train state (2x ~GiB-scale on a 16 GB chip)
+            step_fn = jax.jit(trainer.train_step, donate_argnums=0)
         install_signal_save(lambda: (int(state.step), state), ckpt)
         rng = jax.random.PRNGKey(args.seed)
         clips_per_step = (max(mesh.shape["data"] // proc_cnt, 1)

@@ -79,9 +79,20 @@ def install_signal_save(get_state: Callable[[], tuple], mgr: CheckpointManager):
     reference's 'melk' divine-intervention hook)."""
 
     def handler(signum, frame):
-        step, state = get_state()
-        mgr.save(step, state, force=True)
-        mgr.wait()
+        # The train step donates the state's buffers; a signal landing in
+        # the narrow window after dispatch but before the new state is
+        # bound would read deleted arrays — skip the save rather than
+        # crash the run (the next periodic save covers it).
+        try:
+            step, state = get_state()
+            mgr.save(step, state, force=True)
+            mgr.wait()
+        except RuntimeError as e:
+            if "deleted" in str(e) or "donated" in str(e):
+                print("signal save skipped: state buffers in flight",
+                      flush=True)
+            else:
+                raise
 
     signal.signal(signal.SIGUSR1, handler)
     return handler

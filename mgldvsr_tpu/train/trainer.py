@@ -95,6 +95,13 @@ class Stage1Config:
     # bf16 nu is numerically unsafe); a single-chip memory lever for large
     # inputs (512px stage-1 OOMs a 16GB v5e with fp32 moments, r03)
     adam_mu_dtype: Optional[str] = None
+    # Storage dtype for the FROZEN towers (VAE/CLIP/RAFT + UNet base —
+    # 5.0 of the 5.4 GiB total at full scale). They receive no optimizer
+    # updates and all full-scale compute runs in bf16 (flax casts params to
+    # the module dtype at apply time), so fp32 storage is pure HBM waste:
+    # 'bfloat16' halves it with bit-identical bf16 compute. Trainables stay
+    # fp32 masters regardless.
+    frozen_dtype: Optional[str] = None
 
 
 class TrainState(NamedTuple):
@@ -126,6 +133,13 @@ class Stage1Trainer:
 
     def init_state(self, params: Dict[str, Any]) -> TrainState:
         trainable, frozen = partition_params(params)
+        if self.cfg.frozen_dtype:
+            fdt = jnp.dtype(self.cfg.frozen_dtype)
+            frozen = jax.tree_util.tree_map(
+                lambda x: x.astype(fdt)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                frozen,
+            )
         return TrainState(
             trainable=trainable,
             frozen=frozen,

@@ -251,3 +251,28 @@ def test_zero1_shards_opt_state_and_matches_unsharded():
         np.testing.assert_allclose(np.asarray(new_flat[k]),
                                    np.asarray(ref_flat[k]),
                                    rtol=1e-2, atol=1e-4, err_msg=k)
+
+
+def test_frozen_dtype_bf16_storage_and_step():
+    """frozen_dtype='bfloat16' halves frozen-tower storage; the donated
+    step still runs, updates trainables (fp32 masters), and the loss is
+    finite. Single-chip memory lever for 512px stage-1 (r03)."""
+    pipe = MGLDVSRPipeline(tiny_config(ddpm_steps=2))
+    params = pipe.init_params(jax.random.PRNGKey(0), 32, 32)
+    params = _jitter(params, jax.random.PRNGKey(99))
+    trainer = Stage1Trainer(
+        pipe, Stage1Config(grad_accum=1, frozen_dtype="bfloat16"))
+    state = trainer.init_state(params)
+    fdts = {str(l.dtype) for l in jax.tree_util.tree_leaves(state.frozen)
+            if jnp.issubdtype(l.dtype, jnp.floating)}
+    assert fdts == {"bfloat16"}, fdts
+    tdts = {str(l.dtype) for l in jax.tree_util.tree_leaves(state.trainable)
+            if jnp.issubdtype(l.dtype, jnp.floating)}
+    assert tdts == {"float32"}, tdts
+    bt = trainer.pipe.cfg.num_frames
+    lq = jnp.asarray(np.random.RandomState(0).rand(bt, 32, 32, 3), jnp.float32)
+    gt = jnp.asarray(np.random.RandomState(1).rand(bt, 32, 32, 3), jnp.float32)
+    step = jax.jit(trainer.train_step, donate_argnums=0)
+    state, m = step(state, lq, gt, jax.random.PRNGKey(2))
+    state, m = step(state, lq, gt, jax.random.PRNGKey(3))
+    assert np.isfinite(float(m["loss"])) and int(state.step) == 2
