@@ -2,8 +2,8 @@
 
 Capability parity with basicsr ``FileClient``
 (/root/reference/basicsr/utils/file_client.py:132-167: disk / lmdb /
-memcached) and ``LmdbMaker`` (lmdb_util.py:159). The lmdb backend is gated
-on the ``lmdb`` package (not in this image); its role — one big file with
+memcached) and ``LmdbMaker`` (lmdb_util.py:159). The lmdb and memcached
+backends are gated on their client packages (not in this image); lmdb's role — one big file with
 O(1) keyed reads instead of millions of small files — is covered by a
 self-contained **packed-record** backend (single data file + JSON index),
 which suits sequential TPU host feeding at least as well.
@@ -38,6 +38,52 @@ class LmdbBackend:
     def get(self, key: str) -> bytes:
         with self._env.begin(write=False) as txn:
             return bytes(txn.get(key.encode("ascii")))
+
+
+class MemcachedBackend:
+    """Memcached keyed reads (file_client.py:22-55 in the reference's
+    basicsr/utils — the ``mc`` petrel-style client). Import-gated: the
+    proprietary ``mc`` package is tried first (exact reference semantics),
+    falling back to the open ``pylibmc``/``memcache`` clients; either way
+    ``get`` returns the raw value bytes for a path key."""
+
+    def __init__(self, server_list_cfg: str = "", client_cfg: str = "",
+                 sys_path: Optional[str] = None, client=None):
+        if client is not None:  # injected (tests / custom pools)
+            self._get = client.get
+            return
+        if sys_path is not None:
+            import sys
+
+            sys.path.append(sys_path)
+        try:
+            import mc
+
+            self._client = mc.MemcachedClient.GetInstance(
+                server_list_cfg, client_cfg)
+            self._buf = mc.pyvector()
+
+            def _get(key: str) -> bytes:
+                self._client.Get(key, self._buf)
+                return mc.ConvertBuffer(self._buf)
+
+            self._get = _get
+            return
+        except ImportError:
+            pass
+        try:
+            import pylibmc
+
+            self._get = pylibmc.Client(
+                [s for s in server_list_cfg.split(",") if s]).get
+        except ImportError as e:
+            raise ImportError(
+                "memcached backend requested but neither 'mc' nor "
+                "'pylibmc' is installed; use 'disk', 'packed' or 'lmdb'"
+            ) from e
+
+    def get(self, key: str) -> bytes:
+        return self._get(str(key))
 
 
 class PackedBackend:
@@ -91,7 +137,7 @@ class PackedMaker:
 
 
 class FileClient:
-    """Backend dispatch: 'disk' (default), 'packed', 'lmdb'."""
+    """Backend dispatch: 'disk' (default), 'packed', 'lmdb', 'memcached'."""
 
     def __init__(self, backend: str = "disk", **kwargs):
         if backend == "disk":
@@ -100,6 +146,8 @@ class FileClient:
             self._b = PackedBackend(**kwargs)
         elif backend == "lmdb":
             self._b = LmdbBackend(**kwargs)
+        elif backend == "memcached":
+            self._b = MemcachedBackend(**kwargs)
         else:
             raise ValueError(f"unknown io backend {backend!r}")
         self.backend = backend

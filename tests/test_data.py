@@ -269,6 +269,27 @@ def test_file_client_disk_and_packed(tmp_path):
     assert np.array_equal(imfrombytes(pc.get("b")), img)
 
 
+def test_file_client_memcached_injected():
+    """Memcached backend dispatch (reference file_client.py:22-55); the
+    client is injected since no memcached package/daemon is in the image."""
+    from mgldvsr_tpu.data.file_client import FileClient
+
+    class FakeClient:
+        def __init__(self):
+            self.store = {"k": b"payload"}
+
+        def get(self, key):
+            return self.store[key]
+
+    fc = FileClient("memcached", client=FakeClient())
+    assert fc.get("k") == b"payload"
+    # without an injected client and without the packages, a clear error
+    import pytest
+
+    with pytest.raises(ImportError, match="memcached backend"):
+        FileClient("memcached", server_list_cfg="localhost:11211")
+
+
 def test_training_pair_queue():
     from mgldvsr_tpu.data.pair_queue import TrainingPairQueue
 
