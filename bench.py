@@ -288,7 +288,11 @@ def main():
         return
 
     if args.windows is None:
-        args.windows = 1 if args.tiny else 4
+        # Measured ladder on v5e (r03, 512px 50-step): 1w 1.6545, 2w 1.6646,
+        # 4w 1.8512, 6w 1.9173 fps/chip; 8w OOMs the 16 GB chip. 6 is the
+        # best batch that fits — bigger conv/matmul M amortizes the GN/glue
+        # overhead per frame at identical math.
+        args.windows = 1 if args.tiny else 6
     nb = t * args.windows
     frames = jax.random.uniform(jax.random.PRNGKey(1), (nb, size, size, 3))
 

@@ -253,10 +253,11 @@ def main():
             k_ = (jax.random.normal(jax.random.PRNGKey(1), (3, 3, c, c))
                   * 0.05).astype(jnp.bfloat16)
             b_ = jnp.zeros((c,), jnp.float32)
+            b16 = b_.astype(x.dtype)  # keep the chained-loop carry bf16
             conv = functools.partial(
                 jax.lax.conv_general_dilated, window_strides=(1, 1),
                 padding=((1, 1), (1, 1)), dimension_numbers=dn)
-            t_xla = timeit_amortized(lambda v: conv(v, k_) + b_, x,
+            t_xla = timeit_amortized(lambda v: conv(v, k_) + b16, x,
                                      n=16, iters=args.iters)
             try:
                 t_pl = timeit_amortized(
