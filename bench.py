@@ -50,6 +50,9 @@ def main():
                          "vqgantile_size; 960 default — smaller values "
                          "trade protocol fidelity for compile size)")
     ap.add_argument("--pch-stride", type=int, default=750)
+    ap.add_argument("--variants", default=None,
+                    help="train mode: comma-selected subset of "
+                         "remat,remat_lean,noremat")
     ap.add_argument("--mode", choices=["segment", "tile", "train", "train2"],
                     default="segment",
                     help="segment: fixed 512px window (the headline metric);"
@@ -132,6 +135,9 @@ def main():
         variants = (("remat", True, True, None),
                     ("remat_lean", True, False, "bfloat16"),
                     ("noremat", False, True, None))
+        if args.variants:
+            want = set(args.variants.split(","))
+            variants = tuple(v for v in variants if v[0] in want)
         for key, remat, use_ema, mu_dtype in variants:
             tcfg = _dc.replace(
                 cfg,
@@ -186,6 +192,10 @@ def main():
                                 "detail": (str(e).split("\n")[0]
                                            or repr(e))[:200],
                                 "at": " | ".join(tb[-4:-1])[:300]}
+            # flush per-variant results immediately: a queue timeout killing
+            # a later variant's 15-25 min compile must not lose this one
+            print(json.dumps({"variant_result": key, **results[key]}),
+                  flush=True)
             state = step_fn = trainer = tparams = tpipe = None  # release
         headline = results.get("remat", {}).get("steps_per_sec", 0.0)
         print(json.dumps({
