@@ -133,6 +133,12 @@ def main(argv=None):
     ap.add_argument("--num-frames", type=int, default=5)
     ap.add_argument("--lr", type=float, default=5e-5)
     ap.add_argument("--grad-accum", type=int, default=4)
+    ap.add_argument("--frozen-dtype", default=None,
+                    choices=[None, "bfloat16"],
+                    help="storage dtype for the FROZEN towers (no optimizer "
+                         "updates; compute is bf16 regardless) — halves "
+                         "their HBM; the single-chip fit lever for 512px "
+                         "stage-1 (measured r03: 4.2 GiB state vs ~6.7 fp32)")
     ap.add_argument("--mu-dtype", default=None, choices=[None, "bfloat16"],
                     help="Adam first-moment dtype (bfloat16 halves its "
                          "bytes; variance stays fp32)")
@@ -262,7 +268,8 @@ def main(argv=None):
         trainer = Stage1Trainer(
             pipe, Stage1Config(learning_rate=args.lr,
                                grad_accum=args.grad_accum,
-                               adam_mu_dtype=args.mu_dtype)
+                               adam_mu_dtype=args.mu_dtype,
+                               frozen_dtype=args.frozen_dtype)
         )
         if args.params:
             from mgldvsr_tpu.io.checkpoint import load_params
