@@ -32,15 +32,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(xp_ref, w_ref, b_ref, o_ref, xs, sem, *, th: int, w: int,
-            cin: int, cout: int):
-    """xp_ref: [N, H+2, W+2, C] in ANY/HBM (pre-padded input);
+def _kernel(xp_ref, w_ref, b_ref, o_ref, xs, sem, *, th: int, hp: int,
+            w: int, cin: int, cout: int):
+    """xp_ref: [N*(H+2), W+2, C] in ANY/HBM (pre-padded input, batch and
+    rows flattened so the halo copy is one ``pl.ds`` on the leading dim —
+    the most vanilla DMA shape Mosaic supports);
     w_ref: [9, C, Co] VMEM; b_ref: [1, Co] VMEM f32;
     o_ref: [1, th, W, Co] VMEM block; xs: [th+2, W+2, C] VMEM scratch."""
     n = pl.program_id(0)
     i = pl.program_id(1)
     dma = pltpu.make_async_copy(
-        xp_ref.at[n, pl.ds(i * th, th + 2)], xs, sem)
+        xp_ref.at[pl.ds(n * hp + i * th, th + 2)], xs, sem)
     dma.start()
     dma.wait()
     acc = b_ref[:].astype(jnp.float32)  # [1, Co], broadcasts over M
@@ -93,13 +95,15 @@ def _conv3x3_impl(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
     cout = kernel.shape[-1]
     th = _pick_th(h, w, cin, cout, x.dtype.itemsize)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    xp = xp.reshape(n * (h + 2), w + 2, cin)
     w9 = kernel.reshape(9, cin, cout).astype(x.dtype)
     b2 = bias.reshape(1, cout).astype(jnp.float32)
     return pl.pallas_call(
-        functools.partial(_kernel, th=th, w=w, cin=cin, cout=cout),
+        functools.partial(_kernel, th=th, hp=h + 2, w=w, cin=cin,
+                          cout=cout),
         grid=(n, h // th),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((9, cin, cout), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cout), lambda i, j: (0, 0),
