@@ -45,6 +45,10 @@ def main():
                          "tested), 1 for --tiny.")
     ap.add_argument("--baseline-fps", type=float, default=0.25)
     ap.add_argument("--no-guidance", action="store_true")
+    ap.add_argument("--decode-chunk", type=int, default=None,
+                    help="segment mode: VAE-decode this many windows per "
+                         "lax.map step (bounds decoder activations; the "
+                         "windows=8 batch OOMed r03 with full-batch decode)")
     ap.add_argument("--pch-size", type=int, default=960,
                     help="tile mode: pixel patch size (the reference's "
                          "vqgantile_size; 960 default — smaller values "
@@ -248,6 +252,9 @@ def main():
         }))
         return
 
+    if args.decode_chunk:
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, decode_chunk_windows=args.decode_chunk)
     pipe = MGLDVSRPipeline(cfg)
     rng = jax.random.PRNGKey(0)
     # fast shape-based init (host-side; no XLA compile)

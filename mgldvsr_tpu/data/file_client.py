@@ -44,8 +44,9 @@ class MemcachedBackend:
     """Memcached keyed reads (file_client.py:22-55 in the reference's
     basicsr/utils — the ``mc`` petrel-style client). Import-gated: the
     proprietary ``mc`` package is tried first (exact reference semantics),
-    falling back to the open ``pylibmc``/``memcache`` clients; either way
-    ``get`` returns the raw value bytes for a path key."""
+    falling back to the open ``pylibmc`` client; either way ``get``
+    returns the raw value bytes for a path key and raises ``KeyError``
+    on a miss (the disk/packed/lmdb backend contract)."""
 
     def __init__(self, server_list_cfg: str = "", client_cfg: str = "",
                  sys_path: Optional[str] = None, client=None):
@@ -74,8 +75,23 @@ class MemcachedBackend:
         try:
             import pylibmc
 
-            self._get = pylibmc.Client(
+            _mc_get = pylibmc.Client(
                 [s for s in server_list_cfg.split(",") if s]).get
+
+            def _get(key: str) -> bytes:
+                # pylibmc returns None for missing keys and may transparently
+                # deserialize non-bytes values; normalize to the disk/packed/
+                # lmdb backend contract (raise on miss, bytes only).
+                val = _mc_get(key)
+                if val is None:
+                    raise KeyError(key)
+                if not isinstance(val, bytes):
+                    raise TypeError(
+                        f"memcached value for {key!r} is {type(val).__name__},"
+                        " expected raw bytes")
+                return val
+
+            self._get = _get
         except ImportError as e:
             raise ImportError(
                 "memcached backend requested but neither 'mc' nor "

@@ -66,6 +66,11 @@ class PipelineConfig:
     # in its tiled script (oldcanvas_tile.py:396-401). 0.5 keeps flows
     # well-resolved for the 1/8 latent while quartering RAFT's cost.
     flow_scale: float = 0.5
+    # Decode this many temporal windows per lax.map step (None/0 = the whole
+    # batch in one program). Bounds decoder activation memory when batching
+    # many windows per segment call; output equal to the full-batch
+    # decode up to XLA reassociation (see decode()).
+    decode_chunk_windows: Optional[int] = None
     unet: UNetConfig = UNetConfig()
     structcond: StructCondConfig = StructCondConfig()
     vae: VAEConfig = dataclasses.field(
@@ -160,29 +165,55 @@ class MGLDVSRPipeline:
         return self.cfg.scale_factor * z, enc_fea
 
     def decode(self, params, latents: jnp.ndarray, enc_fea,
-               dec_w: Optional[float] = None) -> jnp.ndarray:
+               dec_w: Optional[float] = None,
+               chunk_windows: Optional[int] = None) -> jnp.ndarray:
+        """latents [B*T,...] -> pixels. ``chunk_windows`` (or the config
+        default) decodes ``chunk_windows`` temporal windows at a time under
+        ``lax.map`` so decoder activations don't scale with the window
+        batch B — the windows=8 segment batch OOMed at 512px on one v5e
+        chip with the full-batch decode (decode sits OUTSIDE the guided
+        sampling scan, so only its own activations are at stake; temporal
+        layers never cross ``num_frames`` windows, so chunking only changes
+        XLA scheduling, not the math)."""
         w = self.cfg.dec_w if dec_w is None else dec_w
-        return self.vae.apply(
-            params["vae"], latents / self.cfg.scale_factor, enc_fea, w,
-            method="decode",
-        )
+        cw = (self.cfg.decode_chunk_windows if chunk_windows is None
+              else chunk_windows)
+        n = latents.shape[0]
+        group = (cw or 0) * self.cfg.num_frames
+
+        def full(z, fea):
+            return self.vae.apply(
+                params["vae"], z / self.cfg.scale_factor, fea, w,
+                method="decode")
+
+        if not group or group >= n or n % group:
+            return full(latents, enc_fea)
+        zs = latents.reshape(n // group, group, *latents.shape[1:])
+        feas = jax.tree_util.tree_map(
+            lambda a: a.reshape(n // group, group, *a.shape[1:]), enc_fea)
+        out = jax.lax.map(lambda args: full(*args), (zs, feas))
+        return out.reshape(n, *out.shape[2:])
 
     def embed_empty_prompt(self, params, batch: int) -> jnp.ndarray:
         tokens = empty_prompt_tokens(batch, self.cfg.clip.context_length)
         return self.clip.apply(params["clip"], tokens)
 
-    def compute_flows(self, params, frames_01: jnp.ndarray):
+    def compute_flows(self, params, frames_01: jnp.ndarray,
+                      flow_scale: Optional[float] = None,
+                      flow_method: str = "bilinear"):
         """frames [B*T,H,W,3] in [0,1] -> latent-res flows + occlusion masks
         ([B,T-1,...] each direction; flows never cross window boundaries).
 
         RAFT runs at ``flow_scale`` of the working resolution (flows are
-        only consumed at 1/8 latent resolution)."""
-        fs = self.cfg.flow_scale
+        only consumed at 1/8 latent resolution). ``flow_scale=None`` uses
+        the pipeline config; the tiled protocol passes 0.25/bicubic (the
+        reference's oldcanvas_tile.py:396 downsize)."""
+        fs = self.cfg.flow_scale if flow_scale is None else flow_scale
         nf = self.cfg.num_frames
         if fs != 1.0:
             n, h, w, _ = frames_01.shape
             small = resize2d(frames_01, (int(h * fs), int(w * fs)),
-                             method="bilinear")
+                             method=flow_method)
         else:
             small = frames_01
         n, h, w, c = small.shape
@@ -315,23 +346,39 @@ class MGLDVSRPipeline:
         dec_w: Optional[float] = None,
         use_guidance: bool = True,
         return_latents: bool = False,
+        flows_masks=None,
+        deterministic: bool = False,
+        clip01: bool = True,
     ):
         """Arbitrary-size segment restore with latent canvas tiling: the eps
         prediction per sampling step is a gaussian-stitched combination of
         64-latent-tile UNet evaluations (one coherent trajectory; parity
         with p_sample_loop_canvas, ddpm.py:4619-4693). Input size must be a
-        multiple of 32 (pad upstream)."""
+        multiple of 32 (pad upstream).
+
+        ``flows_masks``: optional precomputed ``(flows, masks)`` at this
+        patch's latent resolution — the tiled protocol computes flows ONCE
+        on the full working frame and splits them (oldcanvas_tile.py:
+        420-427); per-patch recomputation is only the standalone default.
+        ``deterministic`` zeroes every noise draw (parity/oracle mode, same
+        semantics as ``restore_segment``)."""
         from mgldvsr_tpu.infer.canvas import make_tiled_denoise_fn
 
         cfg = self.cfg
         k_enc, k_xt, k_samp = jax.random.split(rng, 3)
         frames_pm1 = frames_01 * 2.0 - 1.0
-        init_latent, enc_fea = self.encode(params, frames_pm1, k_enc)
+        init_latent, enc_fea = self.encode(
+            params, frames_pm1, k_enc, sample_posterior=not deterministic)
         context = self.embed_empty_prompt(params, frames_01.shape[0])
-        flows, masks = (
-            self.compute_flows(params, frames_01) if use_guidance else (None, None)
-        )
-        x_T = initial_latents(self.base_sched, init_latent, k_xt)
+        if not use_guidance:
+            flows, masks = None, None
+        elif flows_masks is not None:
+            flows, masks = flows_masks
+        else:
+            flows, masks = self.compute_flows(params, frames_01)
+        x_T = initial_latents(
+            self.base_sched, init_latent, k_xt,
+            noise=jnp.zeros_like(init_latent) if deterministic else None)
 
         denoise_fn = make_tiled_denoise_fn(
             lambda s, t: self.structcond.apply(params["structcond"], s, t),
@@ -346,11 +393,19 @@ class MGLDVSRPipeline:
             num_frames=cfg.num_frames,
             guidance_scale=cfg.guidance_scale,
             guidance_mode=cfg.guidance_mode,
+            temperature=0.0 if deterministic else 1.0,
         )
         out = sample_video(self.sched, denoise_fn, x_T, k_samp, scfg, flows, masks)
         decoded = self.decode(params, out.latents, enc_fea, dec_w)
         fixed = apply_colorfix(decoded, frames_pm1, cfg.colorfix)
-        result = jnp.clip((fixed + 1.0) / 2.0, 0.0, 1.0)
+        if not clip01:
+            # tiled protocol: patches are overlap-averaged in [-1,1] BEFORE
+            # the final clamp (oldcanvas_tile.py:473-475) — clamping per
+            # patch first would change values wherever an out-of-range
+            # pixel overlaps an in-range one
+            result = fixed
+        else:
+            result = jnp.clip((fixed + 1.0) / 2.0, 0.0, 1.0)
         if return_latents:
             return result, out.latents
         return result
@@ -358,21 +413,35 @@ class MGLDVSRPipeline:
     def restore_with_latents(self, params, frames_01, rng,
                              dec_w: Optional[float] = None):
         """w_latent path (scripts/vsr_val_ddpm_text_T_vqganfin_w_latent.py):
-        guidance off (guidance_scale=-1 ⇒ no flow correction), returns
-        (frames, latents) so latents can be dumped for stage-2 training."""
+        returns (frames, latents) so latents can be dumped for stage-2
+        training. Protocol details of that script, replicated exactly:
+        flows at FULL working resolution (its 0.125 downsize line is
+        commented out, w_latent.py:350-355), occlusion masks from the
+        SWAPPED consistency-check args (w_latent.py:360 — the tile
+        script's order, not old.py's), and the sampler runs WITH flows at
+        guidance_scale=-1.0 — which in the reference is a weak correction,
+        not a disable: p_sample always applies
+        latents -= scale*logvar*grad when flows are given
+        (ddpm.py:4430-4438)."""
         cfg = self.cfg
         k_enc, k_xt, k_samp = jax.random.split(rng, 3)
         frames_pm1 = frames_01 * 2.0 - 1.0
         init_latent, enc_fea = self.encode(params, frames_pm1, k_enc)
         context = self.embed_empty_prompt(params, frames_01.shape[0])
+        flows, masks = self.compute_flows(params, frames_01, flow_scale=1.0)
+        masks = (masks[1], masks[0])
         x_T = initial_latents(self.base_sched, init_latent, k_xt)
-        scfg = SamplerConfig(num_frames=cfg.num_frames)
+        scfg = SamplerConfig(num_frames=cfg.num_frames,
+                             guidance_scale=-1.0,
+                             guidance_mode=cfg.guidance_mode)
         out = sample_video(
             self.sched,
             self.denoise_fn(params, init_latent, context),
             x_T,
             k_samp,
             scfg,
+            flows,
+            masks,
         )
         decoded = self.decode(params, out.latents, enc_fea, dec_w)
         fixed = apply_colorfix(decoded, frames_pm1, cfg.colorfix)
@@ -389,61 +458,159 @@ class MGLDVSRPipeline:
         dec_w: Optional[float] = None,
         use_guidance: bool = True,
         patch_devices: Optional[Sequence] = None,
+        flow_scale: float = 0.25,
+        deterministic: bool = False,
+        tile: int = 64,
+        tile_overlap: int = 32,
+        batch_tiles: int = 4,
     ):
         """Full arbitrary-resolution protocol (oldcanvas_tile script):
-        bicubic pre-upscale by sf (and further so min side >= min_side),
-        pad to /32, pixel-split into overlapping patches, canvas-restore
-        each patch (re-seeded per patch for reproducibility, tile.py:428),
-        overlap-average gather, downscale to the x-sf target if the
-        pre-upscale overshot. Host-level orchestration; per-patch compute
-        is one jitted program."""
+        one bicubic pre-upscale by max(min_side/size_min, sf), reflect-pad
+        to /32, flows computed ONCE on the full working frame at
+        ``flow_scale`` (bicubic downsize; reference: 1/4 res,
+        oldcanvas_tile.py:396-401) and resized to latent /8 res, pixel-split
+        into overlapping patches with the flows/masks split by synchronized
+        /8-scale spliters (tile.py:420-427), canvas-restore each patch with
+        its flow patch under ONE jitted program (every patch shares the
+        single clamped patch shape, so one compile serves all), overlap-
+        average gather, then — if the pre-upscale overshot sf — a bicubic
+        downscale of the PADDED frame followed by the reference's no-op
+        pad crop (tile.py:523-535 quirk; see the tail of this method).
+
+        Every patch uses the SAME rng (the reference re-seeds
+        ``seed_everything(opt.seed)`` per patch, tile.py:428 — identical
+        noise across patches keeps overlap seams coherent)."""
         import numpy as np
 
         from mgldvsr_tpu.infer.canvas import ImageSpliter
 
         cfg = self.cfg
         t, h0, w0, _ = lq_frames_01.shape
-        target_h, target_w = h0 * cfg.sf, w0 * cfg.sf
-        work_h, work_w = target_h, target_w
-        if min(work_h, work_w) < min_side:
-            s = min_side / min(work_h, work_w)
-            work_h, work_w = round(work_h * s), round(work_w * s)
+        # Reference pre-upscale (oldcanvas_tile.py:350-357): ONE bicubic
+        # resize by max(min_side/size_min, sf) with int-truncated dims.
+        upsample_scale = max(min_side / min(h0, w0), float(cfg.sf))
+        work_h, work_w = int(h0 * upsample_scale), int(w0 * upsample_scale)
         pad_h = (-work_h) % 32
         pad_w = (-work_w) % 32
-        frames = resize2d(lq_frames_01, (work_h + pad_h, work_w + pad_w),
-                          method="bicubic")
+        frames = resize2d(lq_frames_01, (work_h, work_w), method="bicubic")
         frames = jnp.clip(frames, 0.0, 1.0)
+        if pad_h or pad_w:
+            # reflect-pad to /32 AFTER the resize (tile.py:384-388); the
+            # round-3 path resized straight to the padded size, which
+            # resamples the whole frame differently from the reference
+            frames = jnp.pad(frames, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+                             mode="reflect")
 
         spliter = ImageSpliter(frames.shape, pch_size, pch_stride)
         patches = [patch for patch, _ in spliter.split(frames)]
-        keys = [jax.random.fold_in(rng, i) for i in range(len(patches))]
+        flow_patches: list = [None] * len(patches)
+        if use_guidance:
+            # Full-frame flows, one jitted program (the round-3 per-patch
+            # recomputation both deviated from the reference protocol at
+            # patch boundaries and re-ran RAFT on every overlap).
+            flows, masks = jax.jit(
+                lambda p, f: self.compute_flows(
+                    p, f, flow_scale=flow_scale, flow_method="bicubic")
+            )(params, frames)
+            (ff, fb), (of, ob) = flows, masks
+            # The tile script swaps the consistency-check arguments relative
+            # to the fixed script (oldcanvas_tile.py:406 check(flows[1],
+            # flows[0]) vs old.py:354 check(flows[0], flows[1])), which is a
+            # pure swap of the resulting mask pair — replicate it here.
+            of, ob = ob, of
+            tm1, hl, wl = ff.shape[1:4]
+            fsplit = ImageSpliter((tm1, hl, wl, 2), pch_size // 8,
+                                  pch_stride // 8)
+            # The reference zips the pixel and /8 spliters by ORDER; the /8
+            # stride walk can produce a trailing extra position the pixel
+            # walk lacks (integer-stride quirk) — extra entries are unused,
+            # fewer would silently corrupt the zip.
+            assert len(fsplit.positions) >= len(spliter.positions), (
+                f"flow spliter produced {len(fsplit.positions)} patches for "
+                f"{len(spliter.positions)} pixel patches")
+            ph, pw = fsplit.pch_size_h, fsplit.pch_size_w
+            for i, (oy, ox) in enumerate(
+                    fsplit.positions[: len(spliter.positions)]):
+                cut = lambda a: a[:, :, oy: oy + ph, ox: ox + pw, :]
+                flow_patches[i] = ((cut(ff), cut(fb)), (cut(of), cut(ob)))
+        # Reference protocol: the SAME seed for every patch (tile.py:428).
+        keys = [rng] * len(patches)
         devices = list(patch_devices) if patch_devices else []
         if len(devices) > 1 and len(patches) > 1:
             outs = self._restore_patches_sharded(
-                params, patches, keys, devices, dec_w, use_guidance)
+                params, patches, keys, flow_patches, devices, dec_w,
+                use_guidance, deterministic,
+                (tile, tile_overlap, batch_tiles))
         else:
             import os as _os
             import time as _time
             _prog = bool(_os.environ.get("MGLD_PROGRESS"))
+            patch_fn = self._canvas_patch_jit(
+                dec_w, use_guidance, deterministic,
+                (tile, tile_overlap, batch_tiles))
             outs = []
             for pi, (patch, k) in enumerate(zip(patches, keys)):
                 if _prog:
                     print(f"[restore_video] patch {pi + 1}/{len(patches)} "
                           f"{tuple(patch.shape)} start", flush=True)
                 _t0 = _time.perf_counter()
-                outs.append(np.asarray(self.restore_segment_canvas(
-                    params, patch, k, dec_w=dec_w,
-                    use_guidance=use_guidance)))
+                if use_guidance:
+                    out = patch_fn(params, patch, k, flow_patches[pi])
+                else:
+                    out = patch_fn(params, patch, k)
+                outs.append(np.asarray(out))
                 if _prog:
                     print(f"[restore_video] patch {pi + 1} done "
                           f"{_time.perf_counter() - _t0:.1f}s", flush=True)
+        # patches are in [-1,1] (pre-clamp); average overlaps first, THEN
+        # clamp to [0,1] — the reference's order (oldcanvas_tile.py:473-475)
         full = spliter.gather(outs)
-        full = full[:, : work_h, : work_w, :]
-        if (work_h, work_w) != (target_h, target_w):
-            full = np.asarray(
-                resize2d(jnp.asarray(full), (target_h, target_w), method="bicubic")
-            )
-        return np.clip(full, 0.0, 1.0)
+        full = np.clip((full + 1.0) / 2.0, 0.0, 1.0)
+        if upsample_scale > cfg.sf:
+            # The reference downscales the PADDED frame by sf/upsample_scale
+            # (tile.py:523-531) and only then applies the flag_pad crop —
+            # which at the downscaled size is a no-op, so a scaled remnant
+            # of the reflect pad survives in the output. Replicated exactly
+            # for protocol parity (quirk documented, not endorsed).
+            ph, pw = full.shape[1:3]
+            out_h = int(ph * cfg.sf / upsample_scale)
+            out_w = int(pw * cfg.sf / upsample_scale)
+            full = np.asarray(resize2d(jnp.asarray(full), (out_h, out_w),
+                                       method="bicubic"))
+            full = np.clip(full, 0.0, 1.0)
+        if pad_h or pad_w:
+            full = full[:, : work_h, : work_w, :]
+        return full
+
+    def _canvas_patch_jit(self, dec_w, use_guidance: bool,
+                          deterministic: bool,
+                          tiling=(64, 32, 4)):
+        """Jitted per-patch canvas restore, cached on the pipeline instance
+        so repeated ``restore_video`` calls (and all same-shape patches
+        within one call) reuse ONE compiled program. Round-3 shipped this
+        loop unjitted — eager per-op dispatch made the tiled path ~40x
+        slower than the identical shape through the fixed path;
+        tests/test_patch_parallel.py guards the dispatch count."""
+        tile, tile_overlap, batch_tiles = tiling
+        key = (dec_w, use_guidance, deterministic, tiling)
+        cache = getattr(self, "_canvas_jit_cache", None)
+        if cache is None:
+            cache = self._canvas_jit_cache = {}
+        fn = cache.get(key)
+        if fn is None:
+            if use_guidance:
+                fn = jax.jit(lambda p, patch, k, fm: self.restore_segment_canvas(
+                    p, patch, k, tile=tile, tile_overlap=tile_overlap,
+                    batch_tiles=batch_tiles, dec_w=dec_w, use_guidance=True,
+                    flows_masks=fm, deterministic=deterministic,
+                    clip01=False))
+            else:
+                fn = jax.jit(lambda p, patch, k: self.restore_segment_canvas(
+                    p, patch, k, tile=tile, tile_overlap=tile_overlap,
+                    batch_tiles=batch_tiles, dec_w=dec_w, use_guidance=False,
+                    deterministic=deterministic, clip01=False))
+            cache[key] = fn
+        return fn
 
 
     def restore_windows_sharded(
@@ -570,13 +737,15 @@ class MGLDVSRPipeline:
         fixed = apply_colorfix(decoded, frames_pm1, cfg.colorfix)
         return jnp.clip((fixed + 1.0) / 2.0, 0.0, 1.0)
 
-    def _restore_patches_sharded(self, params, patches, keys, devices,
-                                 dec_w, use_guidance):
+    def _restore_patches_sharded(self, params, patches, keys, flow_patches,
+                                 devices, dec_w, use_guidance,
+                                 deterministic=False, tiling=(64, 32, 4)):
         """Canvas patches are independent programs — distribute them over
         local devices with ``shard_map`` over a ('patch',) mesh; each
         device walks its shard sequentially under ``lax.map`` (one traced
-        body, single-patch memory footprint per device). Per-patch keys
-        are identical to the sequential path, so outputs are identical.
+        body, single-patch memory footprint per device). Per-patch keys and
+        flow patches are identical to the sequential path, so outputs are
+        identical.
 
         Beyond-reference scaling: the reference's tile script
         (oldcanvas_tile.py) is strictly sequential per GPU."""
@@ -591,20 +760,31 @@ class MGLDVSRPipeline:
         stack = jnp.stack(patches + [patches[0]] * pad)
         kstack = jnp.stack(keys + [keys[0]] * pad)
         mesh = Mesh(np.array(devices), ("patch",))
+        fstack = None
+        if use_guidance:
+            ftrees = list(flow_patches) + [flow_patches[0]] * pad
+            fstack = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *ftrees)
+
+        tile, tile_overlap, batch_tiles = tiling
 
         def one(args):
-            patch, k = args
+            patch, k, fm = args
             return self.restore_segment_canvas(
-                params, patch, k, dec_w=dec_w, use_guidance=use_guidance)
+                params, patch, k, tile=tile, tile_overlap=tile_overlap,
+                batch_tiles=batch_tiles, dec_w=dec_w,
+                use_guidance=use_guidance, flows_masks=fm,
+                deterministic=deterministic, clip01=False)
 
-        def local(stack_l, keys_l):
-            return jax.lax.map(one, (stack_l, keys_l))
+        def local(stack_l, keys_l, fstack_l):
+            return jax.lax.map(one, (stack_l, keys_l, fstack_l))
 
         fn = shard_map(
             local, mesh=mesh,
-            in_specs=(PartitionSpec("patch"), PartitionSpec("patch")),
+            in_specs=(PartitionSpec("patch"), PartitionSpec("patch"),
+                      PartitionSpec("patch")),
             out_specs=PartitionSpec("patch"), check_vma=False)
-        out = jax.jit(fn)(stack, kstack)
+        out = jax.jit(fn)(stack, kstack, fstack)
         return [np.asarray(out[i]) for i in range(n_pch)]
 
 

@@ -83,11 +83,22 @@ def install_signal_save(get_state: Callable[[], tuple], mgr: CheckpointManager):
         # the narrow window after dispatch but before the new state is
         # bound would read deleted arrays — skip the save rather than
         # crash the run (the next periodic save covers it).
+        step, state = get_state()
+        # Probe liveness explicitly (donated jax.Arrays expose is_deleted)
+        # rather than substring-matching a RuntimeError message, which is
+        # fragile across JAX versions and can swallow unrelated errors.
+        dead = any(
+            getattr(leaf, "is_deleted", lambda: False)()
+            for leaf in jax.tree_util.tree_leaves(state))
+        if dead:
+            print("signal save skipped: state buffers in flight", flush=True)
+            return
         try:
-            step, state = get_state()
             mgr.save(step, state, force=True)
             mgr.wait()
         except RuntimeError as e:
+            # Narrow backstop for the race where donation lands between the
+            # probe and the save.
             if "deleted" in str(e) or "donated" in str(e):
                 print("signal save skipped: state buffers in flight",
                       flush=True)

@@ -217,19 +217,30 @@ class Conv(nn.Conv):
         mode = pallas_conv_mode()
         use = (mode in ("1", "true", "on")
                or (mode == "auto" and jax.default_backend() == "tpu"))
-        if use and self.kernel_size == (3, 3) and x.ndim == 4:
+        # The kernel only implements vanilla SAME-padded dense 3x3 + bias;
+        # any other configuration must fall through to nn.Conv (currently
+        # conv3x3() is the sole constructor, but gate defensively).
+        _ones = (1, (1, 1), None)
+        if (use and self.kernel_size == (3, 3) and x.ndim == 4
+                and self.padding in (1, (1, 1), "SAME", ((1, 1), (1, 1)))
+                and self.input_dilation in _ones
+                and self.kernel_dilation in _ones
+                and self.feature_group_count == 1 and self.use_bias):
             from mgldvsr_tpu.ops.pallas.conv3x3 import (conv3x3_applicable,
                                                         conv3x3_pallas)
 
+            run_dtype = jnp.dtype(self.dtype if self.dtype is not None
+                                  else x.dtype)
             if conv3x3_applicable(x.shape, x.shape[-1], self.features,
-                                  self.strides):
+                                  self.strides,
+                                  itemsize=run_dtype.itemsize):
                 kernel = self.param(
                     "kernel", self.kernel_init,
                     (3, 3, x.shape[-1], self.features), self.param_dtype)
                 bias = self.param("bias", self.bias_init, (self.features,),
                                   self.param_dtype)
                 return conv3x3_pallas(
-                    x.astype(self.dtype), kernel.astype(self.dtype), bias,
+                    x.astype(run_dtype), kernel.astype(run_dtype), bias,
                     None if jax.default_backend() == "tpu" else True)
         return super().__call__(x)
 

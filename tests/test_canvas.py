@@ -93,11 +93,14 @@ def test_canvas_restore_end_to_end_tiny():
 
 def test_restore_video_full_protocol_awkward_size():
     """The oldcanvas_tile protocol end-to-end on a non-multiple-of-32,
-    pre-upscale-requiring input: bicubic x4 -> min-side upscale -> /32 pad
-    -> pixel split -> canvas restore per patch -> gather -> downscale back
-    to the x-sf target size."""
-    import dataclasses
-
+    pre-upscale-requiring input: bicubic min-side upscale -> reflect /32
+    pad -> full-frame flows -> pixel split (flows split at /8) -> canvas
+    restore per patch -> gather -> downscale of the PADDED frame -> no-op
+    pad crop. Expected shape follows the reference's exact arithmetic
+    (oldcanvas_tile.py:523-535): 13x11 @ sf=4, min_side=64 ->
+    upsample 64/11, work 75x64, padded 96x64, downscaled int(96*4/up)=66 x
+    int(64*4/up)=44; the flag_pad crop [:75,:64] is a no-op at that size
+    (the reference quirk keeps a scaled pad remnant in the output)."""
     pipe = MGLDVSRPipeline(tiny_config(ddpm_steps=2))
     t = pipe.cfg.num_frames
     frames = jnp.asarray(np.random.RandomState(0).rand(t, 13, 11, 3),
@@ -107,7 +110,6 @@ def test_restore_video_full_protocol_awkward_size():
         frames, jax.random.PRNGKey(1),
         pch_size=64, pch_stride=48, min_side=64,
     )
-    # x4 target regardless of internal working size (13*4, 11*4)
-    assert out.shape == (t, 52, 44, 3)
+    assert out.shape == (t, 66, 44, 3)
     assert np.isfinite(out).all()
     assert out.min() >= 0.0 and out.max() <= 1.0

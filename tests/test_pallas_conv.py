@@ -44,6 +44,47 @@ def test_conv3x3_pallas_vjp_parity():
                                    atol=1e-6)
 
 
+def test_conv3x3_pallas_vjp_mixed_dtypes():
+    """bf16 x/kernel with an fp32 bias (the layers.Conv reality: kernel is
+    astype(self.dtype)'d, bias stays a fp32 param) — cotangents must match
+    the PRIMAL dtypes or JAX rejects the custom VJP."""
+    from mgldvsr_tpu.ops.pallas.conv3x3 import conv3x3_pallas
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 160, 128, 128),
+                          jnp.bfloat16)
+    k = (jax.random.normal(jax.random.PRNGKey(1), (3, 3, 128, 128)) * 0.05
+         ).astype(jnp.bfloat16)
+    b = jax.random.normal(jax.random.PRNGKey(2), (128,))  # fp32
+    dx, dk, db = jax.grad(
+        lambda *a: (conv3x3_pallas(*a, True).astype(jnp.float32) ** 2).mean(),
+        argnums=(0, 1, 2))(x, k, b)
+    assert dx.dtype == jnp.bfloat16
+    assert dk.dtype == jnp.bfloat16
+    assert db.dtype == jnp.float32
+    gr = jax.grad(
+        lambda *a: (_ref_conv(*a).astype(jnp.float32) ** 2).mean(),
+        argnums=(0, 1, 2))(x.astype(jnp.float32), k.astype(jnp.float32), b)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(gr[2]), atol=0.02,
+                               rtol=0.05)
+
+
+def test_conv3x3_impl_fp32_no_tile_falls_back():
+    """ADVICE r3: a shape whose fp32 scratch exceeds VMEM must not crash
+    with ZeroDivisionError — the impl falls back to lax.conv."""
+    from mgldvsr_tpu.ops.pallas.conv3x3 import (_pick_th, conv3x3_applicable,
+                                                conv3x3_pallas)
+
+    h, w, c = 160, 1024, 512
+    if _pick_th(h, w, c, c, 4) >= 1:  # scratch math changed; keep test honest
+        pytest.skip("fp32 tile now fits VMEM at this shape")
+    assert not conv3x3_applicable((1, h, w, c), c, c, itemsize=4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, h, w, c)) * 0.1
+    k = jax.random.normal(jax.random.PRNGKey(1), (3, 3, c, c)) * 0.01
+    b = jnp.zeros((c,))
+    y = conv3x3_pallas(x, k, b, True)  # must not raise
+    assert y.shape == (1, h, w, c)
+
+
 def test_conv3x3_applicable_gate():
     from mgldvsr_tpu.ops.pallas.conv3x3 import conv3x3_applicable
 

@@ -20,3 +20,53 @@ def test_patch_parallel_equivalence():
                              patch_devices=jax.devices()[:4])
     assert par.shape == seq.shape
     np.testing.assert_allclose(par, seq, atol=2e-5)
+
+
+def test_patch_parallel_equivalence_guided():
+    """Same equivalence with guidance ON: the full-frame flows are split
+    into per-patch trees and must route identically through the shard_map
+    stack (lax.map pytree leaves) and the sequential jitted path."""
+    pipe = MGLDVSRPipeline(tiny_config(num_frames=2, ddpm_steps=2))
+    params = pipe.init_params(jax.random.PRNGKey(0), 64, 64)
+    lq = jax.random.uniform(jax.random.PRNGKey(1), (2, 24, 40, 3))
+    rng = jax.random.PRNGKey(2)
+    common = dict(pch_size=64, pch_stride=48, min_side=64,
+                  use_guidance=True)
+    seq = pipe.restore_video(params, lq, rng, **common)
+    par = pipe.restore_video(params, lq, rng, **common,
+                             patch_devices=jax.devices()[:4])
+    assert par.shape == seq.shape
+    np.testing.assert_allclose(par, seq, atol=2e-5)
+
+
+def test_restore_video_patch_work_is_jitted(monkeypatch):
+    """Dispatch-count guard (round-3 regression: the single-device tile
+    loop called restore_segment_canvas UNJITTED — eager per-op dispatch
+    made the tiled path ~40x slower than the identical shape through the
+    fixed path). Under jit, the traced body runs once per compile; if the
+    loop is ever un-jitted again, the body runs once per patch and this
+    fails."""
+    pipe = MGLDVSRPipeline(tiny_config(num_frames=2, ddpm_steps=2))
+    params = pipe.init_params(jax.random.PRNGKey(0), 64, 64)
+    lq = jax.random.uniform(jax.random.PRNGKey(1), (2, 24, 40, 3))
+
+    calls = []
+    orig = pipe.restore_segment_canvas
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pipe, "restore_segment_canvas", counting)
+    out = pipe.restore_video(params, lq, jax.random.PRNGKey(2),
+                             pch_size=64, pch_stride=48, min_side=64,
+                             use_guidance=True)
+    # 6 same-shape patches -> ONE trace of the per-patch program
+    assert len(calls) == 1, f"per-patch program traced {len(calls)} times"
+    # and a second restore_video on the same shapes must reuse the cached
+    # compiled program (no retrace)
+    pipe.restore_video(params, lq, jax.random.PRNGKey(3),
+                       pch_size=64, pch_stride=48, min_side=64,
+                       use_guidance=True)
+    assert len(calls) == 1, "per-patch program retraced on the second call"
+    assert np.isfinite(out).all()

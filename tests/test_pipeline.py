@@ -148,3 +148,32 @@ def test_window_batched_restore_matches_per_window():
     out = pipe.restore_segment(params, both, jax.random.PRNGKey(2))
     assert out.shape == (2 * t, h, w, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_decode_chunked_windows_bit_identical():
+    """lax.map window-chunked decode (the windows=8 OOM fix) must match
+    the full-batch decode: temporal layers never cross num_frames windows,
+    so chunking by whole windows only changes XLA's fusion/reassociation
+    (observed <4e-6 drift on CPU), never the math."""
+    nf = 2
+    pipe = MGLDVSRPipeline(tiny_config(num_frames=nf, ddpm_steps=2))
+    h = w = 32
+    params = pipe.init_params(jax.random.PRNGKey(0), h, w)
+    frames = jnp.asarray(
+        np.random.RandomState(3).rand(4 * nf, h, w, 3) * 2 - 1,
+        dtype=jnp.float32)
+    latents, enc_fea = pipe.encode(params, frames, jax.random.PRNGKey(1),
+                                   sample_posterior=False)
+    full = pipe.decode(params, latents, enc_fea)
+    for cw in (1, 2):
+        chunked = pipe.decode(params, latents, enc_fea, chunk_windows=cw)
+        np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
+                                   atol=1e-5)
+    # non-divisible and oversized chunk sizes fall back to the full batch
+    # (same program -> exactly equal)
+    np.testing.assert_array_equal(
+        np.asarray(pipe.decode(params, latents, enc_fea, chunk_windows=3)),
+        np.asarray(full))
+    np.testing.assert_array_equal(
+        np.asarray(pipe.decode(params, latents, enc_fea, chunk_windows=99)),
+        np.asarray(full))

@@ -1611,3 +1611,328 @@ def test_full_protocol_composition_oracle():
     np.testing.assert_allclose(np.asarray(ours), nhwc(out_ref), atol=5e-3)
     # non-degenerate: the restore actually moved the pixels
     assert float(np.abs(np.asarray(ours) - frames01).mean()) > 1e-3
+
+
+def test_tile_protocol_composition_oracle():
+    """Runs the reference tile script's COMPLETE arbitrary-resolution
+    protocol (scripts/vsr_val_ddpm_text_T_vqganfin_oldcanvas_tile.py:
+    340-535) through the reference's own modules and asserts
+    ``pipeline.restore_video`` reproduces the WHOLE composition:
+
+    - per-image bicubic pre-upscale by max(min_side/size_min, sf) with
+      int-truncated dims (tile.py:350-357), clamp, reflect /32 pad
+      (tile.py:384-388)
+    - flows computed ONCE on the full padded working frame (tile.py:
+      396-401; the script downsizes to //4 first — at this tiny geometry
+      the torch RAFT's 4-level corr pyramid degenerates to 1x1 below a
+      128px input and NaNs in bilinear_sampler's 2x/(W-1)-1, so the oracle
+      runs RAFT at full working resolution on BOTH sides; the downsize is
+      covered by the resize2d torch-parity oracle and the 0.125/fs flow
+      rescale is shared arithmetic), resize_flow 'shape' to
+      (im_h//8, im_w//8), occlusion masks (alpha=.01, beta=.5) with the
+      tile script's SWAPPED check arguments (tile.py:406 vs old.py:354)
+    - pixel ImageSpliterTh(pch,stride) zipped BY ORDER with four /8-scale
+      spliters for flows/masks (tile.py:421-427)
+    - per patch: posterior encode x0.18215, q_sample_respace x_T at t=999
+      on the full schedule, the canvas-tiled guided p_sample_loop_canvas
+      (gaussian tile weights, tile_size/tile_overlap, n_samples=1 ->
+      per-tile flushes), decode(samples/0.18215, enc_fea), AdaIN colorfix
+      vs the patch (tile.py:428-470)
+    - spliter gather (overlap-average in [-1,1]!) -> clamp((x+1)/2)
+      (tile.py:472-475)
+    - the final-downscale quirk: the PADDED frame is downscaled by
+      sf/upsample_scale and the flag_pad crop runs after, where it is a
+      no-op (tile.py:523-535) — a scaled pad remnant stays in the output.
+
+    The tile script encodes init_latent via model.encode_first_stage (the
+    plain SD AutoencoderKL) but enc_fea via vq_model.encode; with the
+    shipped ``freeze_dec: True`` the video VAE's encoder is frozen at the
+    same SD init (autoencoder.py:1608-1621), so both encoders coincide on
+    real checkpoints — the oracle uses vq_model for both, as old.py does.
+
+    Noise is zeroed on both sides (see the fixed-mode oracle above)."""
+    import copy as _copy
+
+    import torch.nn.functional as F
+    import ldm.models.diffusion.ddpm as rddpm
+    from basicsr.archs.arch_util import resize_flow as ref_resize_flow
+    from basicsr.archs.raft_arch import RAFT_SR
+    from einops import rearrange, repeat
+    from ldm.models.autoencoder import VideoAutoencoderKLResi as RefVQ
+    from ldm.models.diffusion.ddpm import (
+        DiffusionWrapper,
+        LatentDiffusionVSRTextWT,
+    )
+    from ldm.modules.diffusionmodules.openaimodel import (
+        InflatedEncoderUNetModelWT,
+    )
+    from ldm.modules.distributions.distributions import (
+        DiagonalGaussianDistribution,
+    )
+
+    from mgldvsr_tpu.flow.raft import RAFTConfig
+    from mgldvsr_tpu.infer.pipeline import MGLDVSRPipeline, PipelineConfig
+    from mgldvsr_tpu.models.cliptext import CLIPTextConfig
+    from mgldvsr_tpu.models.unet import StructCondConfig, UNetConfig
+    from mgldvsr_tpu.models.vae import VAEConfig
+
+    ref_cf = _load_ref_script("wavelet_color_fix")
+    ref_uf = _load_ref_script("util_flow")
+    ref_ui = _load_ref_script("util_image")
+
+    t, ctx_dim, semb, steps = 2, 32, 32, 5
+    gscale, dec_w, sf, min_side = -10.0, 0.7, 4, 128
+    pch_size, pch_stride = 64, 48
+    tile_size, tile_overlap = 4, 2
+    ls, le = 0.00085, 0.0120
+    h0, w0 = 17, 15  # -> upsample 128/15, work 145x128, padded 160x128
+
+    # ---- reference towers (tiny widths, full topology) -------------------
+    unet_params = dict(
+        image_size=8, in_channels=4, model_channels=32, out_channels=4,
+        num_res_blocks=2, attention_resolutions=[1, 2], channel_mult=[1, 2],
+        num_frames=t, num_head_channels=16, use_spatial_transformer=True,
+        use_linear_in_transformer=True, transformer_depth=1,
+        context_dim=ctx_dim, legacy=False, semb_channels=semb)
+    wrapper = DiffusionWrapper(
+        {"target":
+         "ldm.modules.diffusionmodules.openaimodel.InflatedUNetModelDualcondV2",
+         "params": unet_params}, conditioning_key="crossattn")
+    sd_unet = randomize(wrapper.diffusion_model, 61)
+
+    structcond = InflatedEncoderUNetModelWT(
+        image_size=8, in_channels=4, model_channels=32, out_channels=semb,
+        num_res_blocks=2, attention_resolutions=[1, 2], channel_mult=[1, 1],
+        num_heads=4, num_frames=t)
+    sd_sc = randomize(structcond, 62)
+
+    ddconfig = dict(double_z=True, z_channels=4, resolution=64,
+                    in_channels=3, out_ch=3, ch=32, ch_mult=(1, 1, 2, 2),
+                    num_res_blocks=1, attn_resolutions=[], dropout=0.0,
+                    num_frames=t, num_fuse_block=1)
+    vq_model = RefVQ(ddconfig, lossconfig={"target": "torch.nn.Identity"},
+                     embed_dim=4, fusion_w=dec_w, freeze_dec=False)
+    sd_vq = randomize(vq_model, 63)
+    vq_model.load_state_dict({k: torch.as_tensor(v) for k, v in sd_vq.items()})
+    vq_model.decoder.fusion_w = dec_w
+    vq_model.eval()
+
+    ref_raft = RAFT_SR(model="normal")
+    sd_raft = randomize(ref_raft, 64)
+    for k in ("update_block.flow_head.conv2.weight",
+              "update_block.flow_head.conv2.bias"):
+        sd_raft[k] = sd_raft[k] * 0.02
+    ref_raft.load_state_dict(sd_raft)
+    ref_raft.eval()
+
+    class FakeLD(torch.nn.Module):
+        register_schedule = rddpm.DDPM.register_schedule
+        predict_start_from_noise = rddpm.DDPM.predict_start_from_noise
+        q_posterior = rddpm.DDPM.q_posterior
+        q_sample = rddpm.DDPM.q_sample
+        q_sample_respace = rddpm.DDPM.q_sample_respace
+        p_sample_loop_canvas = LatentDiffusionVSRTextWT.p_sample_loop_canvas
+        p_sample_canvas = LatentDiffusionVSRTextWT.p_sample_canvas
+        p_mean_variance_canvas = (
+            LatentDiffusionVSRTextWT.p_mean_variance_canvas)
+        _gaussian_weights = LatentDiffusionVSRTextWT._gaussian_weights
+        apply_model = LatentDiffusionVSRTextWT.apply_model
+        compute_flow = LatentDiffusionVSRTextWT.compute_flow
+        compute_temporal_condition_v4 = (
+            LatentDiffusionVSRTextWT.compute_temporal_condition_v4)
+
+    fake = FakeLD()
+    fake.num_frames = t
+    fake.parameterization = "eps"
+    fake.v_posterior = 0.0
+    fake.clip_denoised = False
+    fake.log_every_t = 10_000
+    fake.shorten_cond_schedule = False
+    fake.model = wrapper
+    fake.structcond_stage_model = structcond
+    fake.flownet_model = lambda a, b: ref_raft(a, b, iters=3)
+    # _gaussian_weights reads self.configs.model.params.channels
+    from types import SimpleNamespace as _NS
+    fake.configs = _NS(model=_NS(params=_NS(channels=4)))
+
+    fake.register_schedule(beta_schedule="linear", timesteps=1000,
+                           linear_start=ls, linear_end=le)
+    sac_full = _copy.deepcopy(fake.sqrt_alphas_cumprod)
+    somac_full = _copy.deepcopy(fake.sqrt_one_minus_alphas_cumprod)
+    spaced = rddpm.space_timesteps(1000, [steps])
+    use_timesteps = set(spaced)
+    last_ac, new_betas = 1.0, []
+    for i, ac in enumerate(fake.alphas_cumprod):
+        if i in use_timesteps:
+            new_betas.append(1 - ac / last_ac)
+            last_ac = ac
+    new_betas = np.array([float(b) for b in new_betas])
+    fake.register_schedule(given_betas=new_betas, timesteps=len(new_betas))
+    fake.ori_timesteps = sorted(use_timesteps)
+
+    # ---- our pipeline + converted weights --------------------------------
+    cfg = PipelineConfig(
+        num_frames=t, ddpm_steps=steps, guidance_scale=gscale, dec_w=dec_w,
+        colorfix="adain", flow_scale=1.0, sf=sf,
+        unet=UNetConfig(model_channels=32, num_head_channels=16,
+                        context_dim=ctx_dim, semb_channels=semb,
+                        channel_mult=(1, 2), attention_resolutions=(1, 2),
+                        num_frames=t),
+        structcond=StructCondConfig(model_channels=32, out_channels=semb,
+                                    channel_mult=(1, 1),
+                                    attention_resolutions=(1, 2),
+                                    num_heads=4, num_frames=t),
+        vae=VAEConfig(ch=32, ch_mult=(1, 1, 2, 2), num_res_blocks=1,
+                      attn_resolutions=(), resolution=64, z_channels=4,
+                      num_frames=t, enable_fusion=True, num_fuse_block=1),
+        clip=CLIPTextConfig(width=ctx_dim, heads=2, layers=2),
+        raft=RAFTConfig(iters=3),
+    )
+    pipe = MGLDVSRPipeline(cfg)
+
+    clip_params = pipe.clip.init(
+        jax.random.PRNGKey(9),
+        __import__("mgldvsr_tpu.models.cliptext", fromlist=["x"])
+        .empty_prompt_tokens(t, cfg.clip.context_length))
+    params = {
+        "unet": cc.to_jax(cc.convert_unet(
+            sd_unet, prefix="", channel_mult=(1, 2), num_res_blocks=2,
+            attention_resolutions=(1, 2))),
+        "structcond": cc.to_jax(cc.convert_structcond(
+            sd_sc, prefix="", channel_mult=(1, 1), model_channels=32,
+            num_res_blocks=2, attention_resolutions=(1, 2), num_heads=4)),
+        "vae": cc.to_jax(cc.convert_autoencoder(
+            sd_vq, prefix="", video=True, fusion=True, ch_mult=(1, 1, 2, 2),
+            num_res_blocks=1, attn_resolutions=(), resolution=64)),
+        "raft": cc.to_jax(cc.convert_raft(sd_raft)),
+        "clip": clip_params,
+    }
+
+    rs = np.random.RandomState(65)
+    frames01 = rs.rand(t, h0, w0, 3).astype(np.float32)
+    ctx = np.asarray(pipe.embed_empty_prompt(params, t), np.float32)
+
+    # ---- reference protocol, verbatim tile glue ---------------------------
+    orig_noise_like = rddpm.noise_like
+    orig_dg_sample = DiagonalGaussianDistribution.sample
+    rddpm.noise_like = lambda shape, device, repeat=False: torch.zeros(
+        shape, device=device)
+    DiagonalGaussianDistribution.sample = lambda self: self.mean
+    try:
+        with torch.no_grad():
+            cur_image = nchw(frames01) * 2.0 - 1.0  # read_image [-1,1]
+            size_min = min(h0, w0)
+            upsample_scale = max(min_side / size_min, float(sf))
+            cur_image = F.interpolate(
+                cur_image,
+                size=(int(h0 * upsample_scale), int(w0 * upsample_scale)),
+                mode="bicubic")
+            im_lq_bs = cur_image.clamp(-1.0, 1.0)
+            ori_h, ori_w = im_lq_bs.shape[2:]
+            flag_pad = not (ori_h % 32 == 0 and ori_w % 32 == 0)
+            if flag_pad:
+                pad_h = ((ori_h // 32) + 1) * 32 - ori_h if ori_h % 32 else 0
+                pad_w = ((ori_w // 32) + 1) * 32 - ori_w if ori_w % 32 else 0
+                im_lq_bs = F.pad(im_lq_bs, pad=(0, pad_w, 0, pad_h),
+                                 mode="reflect")
+            im_lq_bs_0_1 = torch.clamp((im_lq_bs + 1.0) / 2.0, 0.0, 1.0)
+            _, _, im_h, im_w = im_lq_bs_0_1.shape
+            # flow estimation at full working res (see docstring)
+            im_sm = rearrange(im_lq_bs_0_1, "(b t) c h w -> b t c h w", t=t)
+            flows = fake.compute_flow(im_sm)
+            flows = [rearrange(f, "b t c h w -> (b t) c h w") for f in flows]
+            flows = [ref_resize_flow(f, size_type="shape",
+                                     sizes=(im_h // 8, im_w // 8))
+                     for f in flows]
+            flows = [rearrange(f, "(b t) c h w -> b t c h w", t=t - 1)
+                     for f in flows]
+            fwd_occ_list, bwd_occ_list = [], []
+            for i in range(t - 1):
+                fwd_flow = flows[1][:, i]
+                bwd_flow = flows[0][:, i]
+                fo, bo = ref_uf.forward_backward_consistency_check(
+                    fwd_flow, bwd_flow, alpha=0.01, beta=0.5)
+                fwd_occ_list.append(fo.unsqueeze_(1))
+                bwd_occ_list.append(bo.unsqueeze_(1))
+            fwd_occs = rearrange(torch.stack(fwd_occ_list, dim=1),
+                                 "b t c h w -> (b t) c h w")
+            bwd_occs = rearrange(torch.stack(bwd_occ_list, dim=1),
+                                 "b t c h w -> (b t) c h w")
+            flows = [rearrange(f, "b t c h w -> (b t) c h w") for f in flows]
+
+            imlq_spliter = ref_ui.ImageSpliterTh(
+                im_lq_bs, pch_size, pch_stride, sf=1)
+            flow_spliter_f = ref_ui.ImageSpliterTh(
+                flows[0], pch_size // 8, pch_stride // 8, sf=1)
+            flow_spliter_b = ref_ui.ImageSpliterTh(
+                flows[1], pch_size // 8, pch_stride // 8, sf=1)
+            fwd_occ_spliter = ref_ui.ImageSpliterTh(
+                fwd_occs, pch_size // 8, pch_stride // 8, sf=1)
+            bwd_occ_spliter = ref_ui.ImageSpliterTh(
+                bwd_occs, pch_size // 8, pch_stride // 8, sf=1)
+        for (im_lq_pch, index_infos), (flow_f, _), (flow_b, _), \
+                (fwd_occ, _), (bwd_occ, _) in zip(
+                    imlq_spliter, flow_spliter_f, flow_spliter_b,
+                    fwd_occ_spliter, bwd_occ_spliter):
+            with torch.no_grad():
+                posterior, enc_fea_lq = vq_model.encode(im_lq_pch)
+                init_latent = 0.18215 * posterior.sample()
+                tt = torch.full((im_lq_bs.size(0),), 999, dtype=torch.long)
+                x_T = fake.q_sample_respace(
+                    x_start=init_latent, t=tt, sqrt_alphas_cumprod=sac_full,
+                    sqrt_one_minus_alphas_cumprod=somac_full,
+                    noise=torch.zeros_like(init_latent))
+                flow_f_p = rearrange(flow_f, "(b t) c h w -> b t c h w",
+                                     t=t - 1)
+                flow_b_p = rearrange(flow_b, "(b t) c h w -> b t c h w",
+                                     t=t - 1)
+                fwd_occ_p = rearrange(fwd_occ, "(b t) c h w -> b t c h w",
+                                      t=t - 1)
+                bwd_occ_p = rearrange(bwd_occ, "(b t) c h w -> b t c h w",
+                                      t=t - 1)
+            # p_sample_canvas runs guidance autograd inside itself
+            samples = fake.p_sample_loop_canvas(
+                torch.from_numpy(ctx), init_latent,
+                (t, 4, pch_size // 8, pch_size // 8),
+                guidance_scale=gscale,
+                flows=(flow_f_p, flow_b_p), masks=(fwd_occ_p, bwd_occ_p),
+                x_T=x_T, verbose=False, timesteps=steps, time_replace=steps,
+                tile_size=tile_size, tile_overlap=tile_overlap,
+                batch_size=1)
+            with torch.no_grad():
+                x_samples = vq_model.decode(samples * (1.0 / 0.18215),
+                                            enc_fea_lq)
+                x_samples = ref_cf.adaptive_instance_normalization(
+                    x_samples, im_lq_pch)
+                imlq_spliter.update(x_samples, index_infos)
+        with torch.no_grad():
+            im_sr = imlq_spliter.gather()
+            im_sr = torch.clamp((im_sr + 1.0) / 2.0, 0.0, 1.0)
+            if upsample_scale > sf:
+                im_sr = F.interpolate(
+                    im_sr,
+                    size=(int(im_lq_bs.size(-2) * sf / upsample_scale),
+                          int(im_lq_bs.size(-1) * sf / upsample_scale)),
+                    mode="bicubic")
+                im_sr = torch.clamp(im_sr, 0.0, 1.0)
+            out_ref = im_sr.cpu().numpy().transpose(0, 2, 3, 1)
+            if flag_pad:
+                out_ref = out_ref[:, :ori_h, :ori_w, ]
+    finally:
+        rddpm.noise_like = orig_noise_like
+        DiagonalGaussianDistribution.sample = orig_dg_sample
+
+    # ---- ours: the composed unit -----------------------------------------
+    ours = pipe.restore_video(
+        params, jnp.asarray(frames01), jax.random.PRNGKey(0),
+        pch_size=pch_size, pch_stride=pch_stride, min_side=min_side,
+        flow_scale=1.0, deterministic=True,
+        tile=tile_size, tile_overlap=tile_overlap, batch_tiles=4)
+    assert ours.shape == out_ref.shape, (ours.shape, out_ref.shape)
+    np.testing.assert_allclose(np.asarray(ours), out_ref, atol=5e-3)
+    # non-degenerate: the restore moved the pixels away from a plain
+    # bicubic upscale of the input
+    from mgldvsr_tpu.ops.resize import resize2d as _rz
+    plain = np.asarray(_rz(jnp.asarray(frames01), ours.shape[1:3],
+                           method="bicubic"))
+    assert float(np.abs(np.asarray(ours) - plain).mean()) > 1e-3
