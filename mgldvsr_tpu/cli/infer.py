@@ -158,6 +158,19 @@ def main(argv=None):
                     help="tile mode: distribute canvas patches over all "
                          "local devices (shard_map; outputs identical to "
                          "sequential)")
+    ap.add_argument("--vqgantile-size", type=int, default=960,
+                    help="tile mode: pixel patch size (reference "
+                         "oldcanvas_tile.py --vqgantile_size default 960)")
+    ap.add_argument("--vqgantile-stride", type=int, default=750,
+                    help="tile mode: pixel patch stride (reference "
+                         "--vqgantile_stride default 750)")
+    ap.add_argument("--tile-overlap", type=int, default=32,
+                    help="tile mode: latent canvas tile overlap (reference "
+                         "--tile_overlap default 32)")
+    ap.add_argument("--min-side", type=int, default=512,
+                    help="tile mode: minimum working-frame side (the "
+                         "reference hardcodes 512, oldcanvas_tile.py:352; "
+                         "override for small smoke runs)")
     ap.add_argument("--window-parallel", action="store_true",
                     help="fixed mode: run one num_frames window per local "
                          "device with per-step ICI boundary-latent halo "
@@ -283,6 +296,10 @@ def main(argv=None):
             if args.mode == "tile":
                 out = pipe.restore_video(
                     params, frames, key, dec_w=args.dec_w,
+                    pch_size=args.vqgantile_size,
+                    pch_stride=args.vqgantile_stride,
+                    tile_overlap=args.tile_overlap,
+                    min_side=args.min_side,
                     patch_devices=(jax.devices()
                                    if args.patch_parallel else None))
                 latents = None

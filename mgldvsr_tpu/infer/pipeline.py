@@ -484,6 +484,18 @@ class MGLDVSRPipeline:
 
         from mgldvsr_tpu.infer.canvas import ImageSpliter
 
+        import os as _os
+        import time as _time
+        _prog = bool(_os.environ.get("MGLD_PROGRESS"))
+        _t0 = _time.perf_counter()
+
+        def _mark(stage):
+            nonlocal _t0
+            if _prog:
+                now = _time.perf_counter()
+                print(f"[restore_video] {stage} {now - _t0:.2f}s", flush=True)
+                _t0 = now
+
         cfg = self.cfg
         t, h0, w0, _ = lq_frames_01.shape
         # Reference pre-upscale (oldcanvas_tile.py:350-357): ONE bicubic
@@ -492,26 +504,22 @@ class MGLDVSRPipeline:
         work_h, work_w = int(h0 * upsample_scale), int(w0 * upsample_scale)
         pad_h = (-work_h) % 32
         pad_w = (-work_w) % 32
-        frames = resize2d(lq_frames_01, (work_h, work_w), method="bicubic")
-        frames = jnp.clip(frames, 0.0, 1.0)
-        if pad_h or pad_w:
-            # reflect-pad to /32 AFTER the resize (tile.py:384-388); the
-            # round-3 path resized straight to the padded size, which
-            # resamples the whole frame differently from the reference
-            frames = jnp.pad(frames, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
-                             mode="reflect")
+        frames = self._tile_jit("pre")(lq_frames_01, (work_h, work_w),
+                                       (pad_h, pad_w))
+        _mark("pre-upscale+pad")
 
         spliter = ImageSpliter(frames.shape, pch_size, pch_stride)
         patches = [patch for patch, _ in spliter.split(frames)]
         flow_patches: list = [None] * len(patches)
         if use_guidance:
-            # Full-frame flows, one jitted program (the round-3 per-patch
-            # recomputation both deviated from the reference protocol at
-            # patch boundaries and re-ran RAFT on every overlap).
-            flows, masks = jax.jit(
-                lambda p, f: self.compute_flows(
-                    p, f, flow_scale=flow_scale, flow_method="bicubic")
-            )(params, frames)
+            # Full-frame flows, one jitted program, CACHED on the instance —
+            # a fresh jax.jit(lambda) per call retraces the whole RAFT every
+            # restore_video call. (The round-3 per-patch recomputation both
+            # deviated from the reference protocol at patch boundaries and
+            # re-ran RAFT on every overlap.)
+            flows, masks = self._tile_jit(("flows", flow_scale))(
+                params, frames)
+            _mark("flows")
             (ff, fb), (of, ob) = flows, masks
             # The tile script swaps the consistency-check arguments relative
             # to the fixed script (oldcanvas_tile.py:406 check(flows[1],
@@ -542,30 +550,34 @@ class MGLDVSRPipeline:
                 use_guidance, deterministic,
                 (tile, tile_overlap, batch_tiles))
         else:
-            import os as _os
-            import time as _time
-            _prog = bool(_os.environ.get("MGLD_PROGRESS"))
             patch_fn = self._canvas_patch_jit(
                 dec_w, use_guidance, deterministic,
                 (tile, tile_overlap, batch_tiles))
-            outs = []
+            # dispatch every patch asynchronously, THEN drain: JAX queues
+            # the programs back-to-back on the device and the host-side
+            # transfers overlap the next patch's compute (a per-patch
+            # np.asarray sync serializes compute behind each transfer)
+            outs_dev = []
             for pi, (patch, k) in enumerate(zip(patches, keys)):
-                if _prog:
-                    print(f"[restore_video] patch {pi + 1}/{len(patches)} "
-                          f"{tuple(patch.shape)} start", flush=True)
-                _t0 = _time.perf_counter()
                 if use_guidance:
-                    out = patch_fn(params, patch, k, flow_patches[pi])
+                    outs_dev.append(patch_fn(params, patch, k,
+                                             flow_patches[pi]))
                 else:
-                    out = patch_fn(params, patch, k)
-                outs.append(np.asarray(out))
+                    outs_dev.append(patch_fn(params, patch, k))
+            outs = []
+            for pi, o in enumerate(outs_dev):
+                _tp = _time.perf_counter()
+                outs.append(np.asarray(o))
                 if _prog:
-                    print(f"[restore_video] patch {pi + 1} done "
-                          f"{_time.perf_counter() - _t0:.1f}s", flush=True)
+                    print(f"[restore_video] patch {pi + 1}/"
+                          f"{len(outs_dev)} drained "
+                          f"{_time.perf_counter() - _tp:.2f}s", flush=True)
+        _mark(f"patch loop ({len(patches)})")
         # patches are in [-1,1] (pre-clamp); average overlaps first, THEN
         # clamp to [0,1] — the reference's order (oldcanvas_tile.py:473-475)
         full = spliter.gather(outs)
         full = np.clip((full + 1.0) / 2.0, 0.0, 1.0)
+        _mark("gather")
         if upsample_scale > cfg.sf:
             # The reference downscales the PADDED frame by sf/upsample_scale
             # (tile.py:523-531) and only then applies the flag_pad crop —
@@ -578,9 +590,42 @@ class MGLDVSRPipeline:
             full = np.asarray(resize2d(jnp.asarray(full), (out_h, out_w),
                                        method="bicubic"))
             full = np.clip(full, 0.0, 1.0)
+            _mark("final downscale")
         if pad_h or pad_w:
             full = full[:, : work_h, : work_w, :]
         return full
+
+    def _tile_jit(self, key):
+        """Instance-cached jitted helpers for the tile path (one wrapper
+        object per key ⇒ one trace per shape for the session; a fresh
+        jax.jit per call would retrace every restore_video invocation).
+        Keys: "pre" (bicubic pre-upscale + clip + reflect pad; target dims
+        passed as hashable static tuples) and ("flows", fs)."""
+        cache = getattr(self, "_tile_jit_cache", None)
+        if cache is None:
+            cache = self._tile_jit_cache = {}
+        fn = cache.get(key)
+        if fn is None:
+            if key == "pre":
+                def pre(lq, work_hw, pad_hw):
+                    fr = resize2d(lq, work_hw, method="bicubic")
+                    fr = jnp.clip(fr, 0.0, 1.0)
+                    if pad_hw[0] or pad_hw[1]:
+                        # reflect-pad AFTER the resize (tile.py:384-388);
+                        # r3 resized straight to the padded size, which
+                        # resamples the whole frame differently
+                        fr = jnp.pad(
+                            fr, ((0, 0), (0, pad_hw[0]), (0, pad_hw[1]),
+                                 (0, 0)), mode="reflect")
+                    return fr
+
+                fn = jax.jit(pre, static_argnums=(1, 2))
+            else:
+                fs = key[1]
+                fn = jax.jit(lambda p, f: self.compute_flows(
+                    p, f, flow_scale=fs, flow_method="bicubic"))
+            cache[key] = fn
+        return fn
 
     def _canvas_patch_jit(self, dec_w, use_guidance: bool,
                           deterministic: bool,

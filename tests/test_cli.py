@@ -183,3 +183,22 @@ def test_train_cli_stage2_tiny_one_step(tmp_path):
              open(os.path.join(logdir, "metrics.jsonl"))]
     assert lines
     assert os.path.isdir(os.path.join(logdir, "ckpt"))
+
+
+def test_infer_cli_tile_tiny(tmp_path):
+    """oldcanvas_tile protocol through the CLI: 16px input, min-side 64
+    -> 64px working frame, one 64px patch, canvas tile 8 (latent) — output
+    is x4 of the input (no pad, upsample == sf so no downscale quirk)."""
+    from mgldvsr_tpu.cli.infer import main
+
+    seqs = str(tmp_path / "lq")
+    out = str(tmp_path / "out")
+    _write_seq(seqs)
+    main(["--seqs-path", seqs, "--out-path", out, "--preset", "tiny",
+          "--mode", "tile", "--ddpm-steps", "2", "--size", "64",
+          "--min-side", "64", "--vqgantile-size", "64",
+          "--vqgantile-stride", "48", "--no-bf16"])
+    files = sorted(os.listdir(os.path.join(out, "seq0")))
+    assert len(files) == 5
+    img = cv2.imread(os.path.join(out, "seq0", files[0]))
+    assert img.shape == (64, 64, 3)

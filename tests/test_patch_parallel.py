@@ -57,16 +57,27 @@ def test_restore_video_patch_work_is_jitted(monkeypatch):
         calls.append(1)
         return orig(*a, **k)
 
+    fcalls = []
+    forig = pipe.compute_flows
+
+    def fcounting(*a, **k):
+        fcalls.append(1)
+        return forig(*a, **k)
+
     monkeypatch.setattr(pipe, "restore_segment_canvas", counting)
+    monkeypatch.setattr(pipe, "compute_flows", fcounting)
     out = pipe.restore_video(params, lq, jax.random.PRNGKey(2),
                              pch_size=64, pch_stride=48, min_side=64,
                              use_guidance=True)
     # 6 same-shape patches -> ONE trace of the per-patch program
     assert len(calls) == 1, f"per-patch program traced {len(calls)} times"
+    assert len(fcalls) == 1, f"flows traced {len(fcalls)} times"
     # and a second restore_video on the same shapes must reuse the cached
-    # compiled program (no retrace)
+    # compiled programs (no retrace — a fresh jax.jit(lambda) per call
+    # retraces RAFT every call; that bug cost ~20s/clip on hardware)
     pipe.restore_video(params, lq, jax.random.PRNGKey(3),
                        pch_size=64, pch_stride=48, min_side=64,
                        use_guidance=True)
     assert len(calls) == 1, "per-patch program retraced on the second call"
+    assert len(fcalls) == 1, "flows retraced on the second call"
     assert np.isfinite(out).all()
