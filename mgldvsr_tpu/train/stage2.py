@@ -183,9 +183,27 @@ class Stage2Trainer:
             )
             return dec, moments
 
-        def gen_loss_fn(args):
-            gen_trainable, logvar = args
-            recon, moments = recon_fn(gen_trainable, state.gen_frozen)
+        # ONE forward, three vjp pulls — the torch autograd structure
+        # (contperceptual.py: backward of the weighted loss + two
+        # grad(·, last_layer) calls on the SAME graph, d_weight detached).
+        # The previous formulation rebuilt the whole recon+LPIPS+disc
+        # forward under two extra jax.grad calls (3 forwards total), which
+        # tripled the program and crashed the remote compile helper at
+        # 512px.
+        last_key = "params/decoder/conv_out/kernel"
+        flat_frozen = traverse_util.flatten_dict(state.gen_frozen, sep="/")
+        have_last = last_key in flat_frozen
+        last_w = (flat_frozen[last_key] if have_last
+                  else jnp.zeros((), jnp.float32))
+
+        def gen_fwd(gen_trainable, logvar, lw):
+            if have_last:
+                ff_ = dict(flat_frozen)
+                ff_[last_key] = lw
+                frozen = traverse_util.unflatten_dict(ff_, sep="/")
+            else:
+                frozen = state.gen_frozen
+            recon, moments = recon_fn(gen_trainable, frozen)
             nll_loss, rec_mean = self._nll_terms(
                 recon, gt, logvar, state.aux["lpips"]
             )
@@ -194,7 +212,6 @@ class Stage2Trainer:
             weighted = weighted + cfg.diffloss_weight * jnp.mean(d) / d.shape[0]
             temp = swc_loss(gt, recon, t, flows, occs)
             weighted = weighted + cfg.temploss_weight * temp
-
             logits_fake = self.disc.apply(
                 {"params": state.disc["params"],
                  **{k: v for k, v in state.disc.items() if k != "params"}},
@@ -202,61 +219,40 @@ class Stage2Trainer:
                 train=False,
             )
             g_loss = -jnp.mean(logits_fake)
-
-            # adaptive weight via grads w.r.t. the decoder's final conv
-            def split_last(tree):
-                flat = traverse_util.flatten_dict(tree, sep="/")
-                key = "params/decoder/conv_out/kernel"
-                if key in flat:
-                    return key, flat
-                return None, flat
-
-            key, flat_frozen = split_last(state.gen_frozen)
-            if key is not None:
-                def scalar_pair(last_w):
-                    ff_ = dict(flat_frozen)
-                    ff_[key] = last_w
-                    fr = traverse_util.unflatten_dict(ff_, sep="/")
-                    rec2, _ = recon_fn(gen_trainable, fr)
-                    nll2, _ = self._nll_terms(
-                        rec2, gt, logvar, state.aux["lpips"]
-                    )
-                    lf = self.disc.apply(
-                        {"params": state.disc["params"],
-                         **{k: v for k, v in state.disc.items()
-                            if k != "params"}},
-                        rec2,
-                        train=False,
-                    )
-                    return nll2, -jnp.mean(lf)
-
-                last_w = flat_frozen[key]
-                nll_g = jax.grad(lambda w: scalar_pair(w)[0])(last_w)
-                g_g = jax.grad(lambda w: scalar_pair(w)[1])(last_w)
-                d_weight = adaptive_d_weight(
-                    jnp.linalg.norm(nll_g.ravel()),
-                    jnp.linalg.norm(g_g.ravel()),
-                    cfg.disc_weight,
-                )
-            else:
-                d_weight = jnp.asarray(cfg.disc_weight)
-
-            disc_factor = adopt_weight(
-                cfg.disc_factor, state.step, cfg.disc_start
-            )
-            loss = weighted + d_weight * disc_factor * g_loss
             aux = {
                 "nll_loss": nll_loss,
                 "rec_loss": rec_mean,
                 "temp_loss": temp,
                 "g_loss": g_loss,
-                "d_weight": d_weight,
                 "recon": recon,
             }
-            return loss, aux
+            return (weighted, nll_loss, g_loss), aux
 
-        (loss_g, aux), grads = jax.value_and_grad(gen_loss_fn, has_aux=True)(
-            (state.gen_trainable, state.logvar)
+        (weighted, nll_loss, g_loss), gen_vjp, aux = jax.vjp(
+            gen_fwd, state.gen_trainable, state.logvar, last_w, has_aux=True
+        )
+        one = jnp.ones((), weighted.dtype)
+        zero = jnp.zeros((), weighted.dtype)
+        gw_gen, gw_logvar, _ = gen_vjp((one, zero, zero))
+        gl_gen, gl_logvar, g_g = gen_vjp((zero, zero, one))
+        if have_last:
+            _, _, nll_g = gen_vjp((zero, one, zero))
+            d_weight = adaptive_d_weight(
+                jnp.linalg.norm(nll_g.ravel()),
+                jnp.linalg.norm(g_g.ravel()),
+                cfg.disc_weight,
+            )
+        else:
+            d_weight = jnp.asarray(cfg.disc_weight)
+        aux["d_weight"] = d_weight
+
+        disc_factor_g = adopt_weight(cfg.disc_factor, state.step,
+                                     cfg.disc_start)
+        scale = d_weight * disc_factor_g  # constant in autodiff (detached)
+        loss_g = weighted + scale * g_loss
+        grads = jax.tree_util.tree_map(
+            lambda a, b: a + scale * b,
+            (gw_gen, gw_logvar), (gl_gen, gl_logvar),
         )
         updates, opt_g = self.tx_g.update(
             grads, state.opt_g, (state.gen_trainable, state.logvar)
