@@ -54,6 +54,10 @@ def main():
                          "vqgantile_size; 960 default — smaller values "
                          "trade protocol fidelity for compile size)")
     ap.add_argument("--pch-stride", type=int, default=750)
+    ap.add_argument("--patch-batch", type=int, default=None,
+                    help="tile mode: canvas patches batched per compiled "
+                         "call along the window axis (default: auto-fit "
+                         "from the measured 6x512px envelope; 1 disables)")
     ap.add_argument("--variants", default=None,
                     help="train mode: comma-selected subset of "
                          "remat,remat_lean,noremat")
@@ -274,7 +278,8 @@ def main():
         lh, lw = (24, 40) if args.tiny else (180, 320)
         lq = jax.random.uniform(jax.random.PRNGKey(1), (t, lh, lw, 3))
         tile_kw = dict(use_guidance=not args.no_guidance,
-                       pch_size=args.pch_size, pch_stride=args.pch_stride)
+                       pch_size=args.pch_size, pch_stride=args.pch_stride,
+                       patch_batch=args.patch_batch)
         if args.tiny:  # keep the working size tiny (default min_side=512)
             tile_kw.update(min_side=lh * 4, pch_size=min(args.pch_size, 64),
                            pch_stride=min(args.pch_stride, 48))

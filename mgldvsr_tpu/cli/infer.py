@@ -167,6 +167,11 @@ def main(argv=None):
     ap.add_argument("--tile-overlap", type=int, default=32,
                     help="tile mode: latent canvas tile overlap (reference "
                          "--tile_overlap default 32)")
+    ap.add_argument("--patch-batch", type=int, default=None,
+                    help="tile mode: canvas patches batched per compiled "
+                         "call along the window axis (default: auto-fit; "
+                         "1 disables; outputs identical to sequential — "
+                         "noise is drawn per window)")
     ap.add_argument("--min-side", type=int, default=512,
                     help="tile mode: minimum working-frame side (the "
                          "reference hardcodes 512, oldcanvas_tile.py:352; "
@@ -300,6 +305,7 @@ def main(argv=None):
                     pch_stride=args.vqgantile_stride,
                     tile_overlap=args.tile_overlap,
                     min_side=args.min_side,
+                    patch_batch=args.patch_batch,
                     patch_devices=(jax.devices()
                                    if args.patch_parallel else None))
                 latents = None

@@ -196,6 +196,12 @@ class SamplerConfig:
     parameterization: str = "eps"
     temperature: float = 1.0
     return_intermediates: bool = False
+    # Draw per-step noise for ONE num_frames window and tile it across the
+    # window batch. The tiled-restore protocol runs every patch with the
+    # SAME seed (oldcanvas_tile.py:428 re-seeds per patch) so overlap seams
+    # stay coherent; batching patches along the window axis must therefore
+    # give each window the identical draw a solo same-seed call would get.
+    noise_window_tile: bool = False
 
 
 def p_mean_variance(
@@ -236,7 +242,13 @@ def p_sample(
 ):
     """Posterior sample at step ``i`` plus the motion-guided correction."""
     mean, _, log_var = p_mean_variance(sched, denoise_fn, x, i, cfg)
-    noise = jax.random.normal(rng, x.shape, dtype=x.dtype) * cfg.temperature
+    if cfg.noise_window_tile:
+        nw = x.shape[0] // cfg.num_frames
+        base = jax.random.normal(
+            rng, (cfg.num_frames, *x.shape[1:]), dtype=x.dtype)
+        noise = jnp.tile(base, (nw,) + (1,) * (x.ndim - 1)) * cfg.temperature
+    else:
+        noise = jax.random.normal(rng, x.shape, dtype=x.dtype) * cfg.temperature
     nonzero = (i > 0).astype(x.dtype)
     latents = mean + nonzero * jnp.exp(0.5 * log_var) * noise
     if flows is not None:

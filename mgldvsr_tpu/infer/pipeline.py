@@ -153,15 +153,28 @@ class MGLDVSRPipeline:
     # -- stages ------------------------------------------------------------
 
     def encode(self, params, frames_pm1: jnp.ndarray, rng: jax.Array,
-               sample_posterior: bool = True):
+               sample_posterior: bool = True,
+               noise_window_tile: bool = False):
         """frames in [-1,1] -> (scaled latent, multi-scale LQ features).
         ``sample_posterior=False`` takes the posterior mode (parity/
-        deterministic runs)."""
+        deterministic runs). ``noise_window_tile`` draws the posterior
+        noise for ONE ``num_frames`` window and tiles it over the window
+        batch — the draw each window would get from a solo same-rng call
+        (tiled protocol: every patch shares the seed, tile.py:428)."""
         moments, enc_fea = self.vae.apply(
             params["vae"], frames_pm1, method="encode"
         )
         g = DiagonalGaussian(moments)
-        z = g.sample(rng) if sample_posterior else g.mode()
+        if not sample_posterior:
+            z = g.mode()
+        elif noise_window_tile:
+            t = self.cfg.num_frames
+            base = jax.random.normal(
+                rng, (t, *g.mean.shape[1:]), dtype=g.mean.dtype)
+            nw = g.mean.shape[0] // t
+            z = g.mean + g.std * jnp.tile(base, (nw,) + (1,) * (base.ndim - 1))
+        else:
+            z = g.sample(rng)
         return self.cfg.scale_factor * z, enc_fea
 
     def decode(self, params, latents: jnp.ndarray, enc_fea,
@@ -349,6 +362,7 @@ class MGLDVSRPipeline:
         flows_masks=None,
         deterministic: bool = False,
         clip01: bool = True,
+        window_noise: bool = False,
     ):
         """Arbitrary-size segment restore with latent canvas tiling: the eps
         prediction per sampling step is a gaussian-stitched combination of
@@ -361,14 +375,22 @@ class MGLDVSRPipeline:
         on the full working frame and splits them (oldcanvas_tile.py:
         420-427); per-patch recomputation is only the standalone default.
         ``deterministic`` zeroes every noise draw (parity/oracle mode, same
-        semantics as ``restore_segment``)."""
+        semantics as ``restore_segment``).
+        ``window_noise``: every noise draw (posterior, x_T, per-step) is
+        made for ONE ``num_frames`` window and tiled across the window
+        batch, so K patches stacked along the frames axis each receive
+        exactly the draws a solo same-rng call would — the reference's
+        per-patch re-seed semantics (tile.py:428) under patch batching.
+        With a single window it is the identity."""
         from mgldvsr_tpu.infer.canvas import make_tiled_denoise_fn
 
         cfg = self.cfg
+        t = cfg.num_frames
         k_enc, k_xt, k_samp = jax.random.split(rng, 3)
         frames_pm1 = frames_01 * 2.0 - 1.0
         init_latent, enc_fea = self.encode(
-            params, frames_pm1, k_enc, sample_posterior=not deterministic)
+            params, frames_pm1, k_enc, sample_posterior=not deterministic,
+            noise_window_tile=window_noise)
         context = self.embed_empty_prompt(params, frames_01.shape[0])
         if not use_guidance:
             flows, masks = None, None
@@ -376,9 +398,17 @@ class MGLDVSRPipeline:
             flows, masks = flows_masks
         else:
             flows, masks = self.compute_flows(params, frames_01)
+        if deterministic:
+            xt_noise = jnp.zeros_like(init_latent)
+        elif window_noise:
+            base = jax.random.normal(
+                k_xt, (t, *init_latent.shape[1:]), dtype=init_latent.dtype)
+            xt_noise = jnp.tile(
+                base, (init_latent.shape[0] // t,) + (1,) * (base.ndim - 1))
+        else:
+            xt_noise = None
         x_T = initial_latents(
-            self.base_sched, init_latent, k_xt,
-            noise=jnp.zeros_like(init_latent) if deterministic else None)
+            self.base_sched, init_latent, k_xt, noise=xt_noise)
 
         denoise_fn = make_tiled_denoise_fn(
             lambda s, t: self.structcond.apply(params["structcond"], s, t),
@@ -394,6 +424,7 @@ class MGLDVSRPipeline:
             guidance_scale=cfg.guidance_scale,
             guidance_mode=cfg.guidance_mode,
             temperature=0.0 if deterministic else 1.0,
+            noise_window_tile=window_noise,
         )
         out = sample_video(self.sched, denoise_fn, x_T, k_samp, scfg, flows, masks)
         decoded = self.decode(params, out.latents, enc_fea, dec_w)
@@ -463,6 +494,7 @@ class MGLDVSRPipeline:
         tile: int = 64,
         tile_overlap: int = 32,
         batch_tiles: int = 4,
+        patch_batch: Optional[int] = None,
     ):
         """Full arbitrary-resolution protocol (oldcanvas_tile script):
         one bicubic pre-upscale by max(min_side/size_min, sf), reflect-pad
@@ -550,27 +582,54 @@ class MGLDVSRPipeline:
                 use_guidance, deterministic,
                 (tile, tile_overlap, batch_tiles))
         else:
+            # Patch batching: K same-shape patches ride the window axis of
+            # ONE compiled program — the 512px 6-window segment batch
+            # measured 1.92 vs 1.65 fps/window solo (r03 ladder), and the
+            # 512/448 geometry's patches are single-canvas-tile, i.e.
+            # exactly that workload. ``window_noise`` tiles every draw per
+            # window so each patch still receives the identical noise a
+            # solo same-seed call would (reference per-patch re-seed,
+            # tile.py:428) — batched output == sequential output.
+            if patch_batch is None:
+                # measured-fit envelope: the 6-window 512px batch is the
+                # largest program known to fit one v5e chip with full-batch
+                # decode (r03/r04 ladders; 8w needed chunked decode)
+                ph_px, pw_px = patches[0].shape[1:3]
+                patch_batch = max(1, (6 * 512 * 512) // (ph_px * pw_px))
+            kb = max(1, min(patch_batch, len(patches)))
             patch_fn = self._canvas_patch_jit(
                 dec_w, use_guidance, deterministic,
                 (tile, tile_overlap, batch_tiles))
-            # dispatch every patch asynchronously, THEN drain: JAX queues
+            # dispatch every group asynchronously, THEN drain: JAX queues
             # the programs back-to-back on the device and the host-side
-            # transfers overlap the next patch's compute (a per-patch
-            # np.asarray sync serializes compute behind each transfer)
-            outs_dev = []
-            for pi, (patch, k) in enumerate(zip(patches, keys)):
+            # transfers overlap the next group's device compute
+            groups_dev = []
+            n_p = len(patches)
+            for g0 in range(0, n_p, kb):
+                idx = list(range(g0, min(g0 + kb, n_p)))
+                # pad the trailing group by repeating its last patch so a
+                # single (kb*t, H, W, 3) program shape serves every group
+                pad = [idx[-1]] * (kb - len(idx))
+                gidx = idx + pad
+                stacked = jnp.concatenate([patches[i] for i in gidx], 0)
                 if use_guidance:
-                    outs_dev.append(patch_fn(params, patch, k,
-                                             flow_patches[pi]))
+                    fm = jax.tree_util.tree_map(
+                        lambda *xs: jnp.concatenate(xs, 0),
+                        *[flow_patches[i] for i in gidx])
+                    o = patch_fn(params, stacked, keys[idx[0]], fm)
                 else:
-                    outs_dev.append(patch_fn(params, patch, k))
+                    o = patch_fn(params, stacked, keys[idx[0]])
+                groups_dev.append((idx, o))
             outs = []
-            for pi, o in enumerate(outs_dev):
+            for gi, (idx, o) in enumerate(groups_dev):
                 _tp = _time.perf_counter()
-                outs.append(np.asarray(o))
+                arr = np.asarray(o)
+                t_ = cfg.num_frames
+                outs.extend(arr[j * t_: (j + 1) * t_]
+                            for j in range(len(idx)))
                 if _prog:
-                    print(f"[restore_video] patch {pi + 1}/"
-                          f"{len(outs_dev)} drained "
+                    print(f"[restore_video] group {gi + 1}/"
+                          f"{len(groups_dev)} ({len(idx)} patches) drained "
                           f"{_time.perf_counter() - _tp:.2f}s", flush=True)
         _mark(f"patch loop ({len(patches)})")
         # patches are in [-1,1] (pre-clamp); average overlaps first, THEN
@@ -648,12 +707,13 @@ class MGLDVSRPipeline:
                     p, patch, k, tile=tile, tile_overlap=tile_overlap,
                     batch_tiles=batch_tiles, dec_w=dec_w, use_guidance=True,
                     flows_masks=fm, deterministic=deterministic,
-                    clip01=False))
+                    clip01=False, window_noise=True))
             else:
                 fn = jax.jit(lambda p, patch, k: self.restore_segment_canvas(
                     p, patch, k, tile=tile, tile_overlap=tile_overlap,
                     batch_tiles=batch_tiles, dec_w=dec_w, use_guidance=False,
-                    deterministic=deterministic, clip01=False))
+                    deterministic=deterministic, clip01=False,
+                    window_noise=True))
             cache[key] = fn
         return fn
 

@@ -39,6 +39,30 @@ def test_patch_parallel_equivalence_guided():
     np.testing.assert_allclose(par, seq, atol=2e-5)
 
 
+def test_patch_batch_equivalence():
+    """Single-device patch batching (K patches stacked along the window
+    axis of ONE compiled program) must reproduce the sequential per-patch
+    path bit-for-bit in protocol terms: with ``window_noise`` every draw
+    (posterior, x_T, per-step sampler noise) is made for one window and
+    tiled, so each batched window sees exactly the draws a solo same-rng
+    call makes (the reference re-seeds identically per patch,
+    oldcanvas_tile.py:428). Non-deterministic on purpose — this is the
+    test that the noise plumbing, not just the math, matches."""
+    pipe = MGLDVSRPipeline(tiny_config(num_frames=2, ddpm_steps=2))
+    params = pipe.init_params(jax.random.PRNGKey(0), 64, 64)
+    lq = jax.random.uniform(jax.random.PRNGKey(1), (2, 24, 40, 3))
+    rng = jax.random.PRNGKey(2)
+    for guided in (False, True):
+        common = dict(pch_size=64, pch_stride=48, min_side=64,
+                      use_guidance=guided)
+        seq = pipe.restore_video(params, lq, rng, **common, patch_batch=1)
+        # 6 patches, batch of 4 -> one full group + one padded group
+        bat = pipe.restore_video(params, lq, rng, **common, patch_batch=4)
+        assert bat.shape == seq.shape
+        np.testing.assert_allclose(bat, seq, atol=3e-5,
+                                   err_msg=f"guided={guided}")
+
+
 def test_restore_video_patch_work_is_jitted(monkeypatch):
     """Dispatch-count guard (round-3 regression: the single-device tile
     loop called restore_segment_canvas UNJITTED — eager per-op dispatch
