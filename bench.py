@@ -54,6 +54,11 @@ def main():
                          "vqgantile_size; 960 default — smaller values "
                          "trade protocol fidelity for compile size)")
     ap.add_argument("--pch-stride", type=int, default=750)
+    ap.add_argument("--split-step", action="store_true",
+                    help="train2: jit flows/generator/discriminator as "
+                         "three programs instead of one fused step "
+                         "(identical math; the fused 512px compile "
+                         "crashed the remote helper)")
     ap.add_argument("--patch-batch", type=int, default=None,
                     help="tile mode: canvas patches batched per compiled "
                          "call along the window axis (default: auto-fit "
@@ -223,7 +228,21 @@ def main():
             trainer = Stage2Trainer(
                 cfg.vae, Stage2Config(grad_accum=1, num_frames=t))
             state = trainer.init_state(jax.random.PRNGKey(0), size, size)
-            step_fn = jax.jit(trainer.train_step, donate_argnums=0)
+            if args.split_step:
+                # three programs instead of one fused step: at 512px the
+                # fused compile crashed the remote helper twice (r04a/b);
+                # identical math, each compile a fraction of the fused one
+                flows_fn = jax.jit(trainer.frozen_flows)
+                gen_fn = jax.jit(trainer.gen_step)
+                disc_fn = jax.jit(trainer.disc_step, donate_argnums=0)
+
+                def step_fn(st, lq_, gt_, lat_, _rng):
+                    fl, oc = flows_fn(st, gt_)
+                    st, recon, mg = gen_fn(st, lq_, gt_, lat_, fl, oc)
+                    st, md = disc_fn(st, gt_, recon)
+                    return st, {**mg, **md}
+            else:
+                step_fn = jax.jit(trainer.train_step, donate_argnums=0)
             lq = jax.random.uniform(jax.random.PRNGKey(1), (t, size, size, 3))
             gt = jax.random.uniform(jax.random.PRNGKey(2), (t, size, size, 3))
             lat = jax.random.normal(

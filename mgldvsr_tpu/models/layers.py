@@ -196,53 +196,17 @@ class Int8Conv3x3(nn.Module):
         return y.astype(self.dtype)
 
 
-def pallas_conv_mode() -> str:
-    """MGLD_PALLAS_CONV: '1' force (interpret off-TPU), 'auto' on-TPU-only,
-    else off. Gates the shifted-matmul Pallas kernel for large stride-1
-    3x3 convs (ops/pallas/conv3x3.py)."""
-    import os
-
-    return os.environ.get("MGLD_PALLAS_CONV", "0").lower()
-
-
-class Conv(nn.Conv):
-    """nn.Conv that dispatches large stride-1 SAME 3x3 convs to the Pallas
-    shifted-matmul kernel (ops/pallas/conv3x3.py) when MGLD_PALLAS_CONV
-    enables it. Same class name as flax's Conv so auto-scope names and the
-    param tree ({kernel, bias}) are bit-identical — checkpoints and oracles
-    are unaffected by the dispatch."""
-
-    @nn.compact
-    def __call__(self, x):
-        mode = pallas_conv_mode()
-        use = (mode in ("1", "true", "on")
-               or (mode == "auto" and jax.default_backend() == "tpu"))
-        # The kernel only implements vanilla SAME-padded dense 3x3 + bias;
-        # any other configuration must fall through to nn.Conv (currently
-        # conv3x3() is the sole constructor, but gate defensively).
-        _ones = (1, (1, 1), None)
-        if (use and self.kernel_size == (3, 3) and x.ndim == 4
-                and self.padding in (1, (1, 1), "SAME", ((1, 1), (1, 1)))
-                and self.input_dilation in _ones
-                and self.kernel_dilation in _ones
-                and self.feature_group_count == 1 and self.use_bias):
-            from mgldvsr_tpu.ops.pallas.conv3x3 import (conv3x3_applicable,
-                                                        conv3x3_pallas)
-
-            run_dtype = jnp.dtype(self.dtype if self.dtype is not None
-                                  else x.dtype)
-            if conv3x3_applicable(x.shape, x.shape[-1], self.features,
-                                  self.strides,
-                                  itemsize=run_dtype.itemsize):
-                kernel = self.param(
-                    "kernel", self.kernel_init,
-                    (3, 3, x.shape[-1], self.features), self.param_dtype)
-                bias = self.param("bias", self.bias_init, (self.features,),
-                                  self.param_dtype)
-                return conv3x3_pallas(
-                    x.astype(run_dtype), kernel.astype(run_dtype), bias,
-                    None if jax.default_backend() == "tpu" else True)
-        return super().__call__(x)
+# A custom Pallas shifted-matmul 3x3 conv (MGLD_PALLAS_CONV) lived here
+# through rounds 3-4. Retired after an honest hardware verdict (r04 queue,
+# /tmp/bench_r04/pconv_micro3.log): the kernel finally COMPILED on v5e (the
+# pre-shifted [3, N*(H+2), W, C] layout sidestepped Mosaic's tiled-dim
+# slice alignment), but measured 0.65-0.82x vs XLA's conv on every decoder
+# hot shape (XLA 44-91 TF/s vs Pallas 29-66 TF/s) and RESOURCE_EXHAUSTED at
+# the 4-window batch shape — materializing the 3 row-shifted copies costs
+# 3x input HBM traffic, which is exactly the bandwidth the kernel was
+# supposed to save. XLA's fused conv remains the fastest available path;
+# see NOTES.md "Retired experiments".
+Conv = nn.Conv
 
 
 def conv3x3(features: int, dtype: Dtype = jnp.float32, zero_init: bool = False,

@@ -11,10 +11,12 @@ Parity with the reference protocol (structure studied):
   logvar-weighted L1+LPIPS NLL + 0.5*diff-loss + 0.5*swc-loss + hinge GAN
   with gradient-ratio adaptive weight and disc warmup (step 501).
 
-TPU-first: generator and discriminator updates compile into ONE jitted
-step; the adaptive d_weight uses nested ``jax.grad`` w.r.t. the decoder's
-final conv kernel; SpyNet flows for the swc term run inside the same
-program.
+TPU-first: the step is built from three jittable pieces —
+``frozen_flows`` (SpyNet + occlusion), ``gen_step`` (one forward + three
+VJP pulls for the grads and the gradient-ratio adaptive d_weight, Adam
+update), ``disc_step`` (hinge update on the detached recon) — fused into
+ONE program by ``train_step`` or jitted separately when the fused compile
+is too large (512px).
 """
 from __future__ import annotations
 
@@ -150,30 +152,38 @@ class Stage2Trainer:
         nll_loss = jnp.mean(nll) / nll.shape[0]
         return nll_loss, jnp.mean(rec)
 
-    def train_step(
-        self,
-        state: Stage2State,
-        lq_01: jnp.ndarray,
-        gt_01: jnp.ndarray,
-        latents: jnp.ndarray,
-        rng: jax.Array,
-    ) -> Tuple[Stage2State, Dict[str, jnp.ndarray]]:
-        """lq_01 upscaled to GT size [bt,H,W,3] in [0,1]; latents already
-        divided by the diffusion scale factor (get_input: lts/0.18215)."""
-        cfg = self.cfg
-        t = cfg.num_frames
-        gt = gt_01 * 2.0 - 1.0
-        lq = lq_01 * 2.0 - 1.0
-        b = gt.shape[0] // t
-
-        # frozen flows on GT for the swc term
+    def frozen_flows(self, state: Stage2State, gt_01: jnp.ndarray):
+        """SpyNet flows + occlusion masks on GT for the swc term (frozen:
+        never differentiated). Separately jittable — at 512px the fused
+        step's single program crashed the compile pipeline; splitting
+        flows/generator/discriminator into three programs keeps each
+        compile tractable with identical math."""
+        t = self.cfg.num_frames
+        b = gt_01.shape[0] // t
         gt_clips = gt_01.reshape(b, t, *gt_01.shape[1:])
         ff, fb = compute_clip_flows(
             lambda a, bb: self.spynet.apply(state.aux["spynet"], a, bb),
             gt_clips,
         )
         occs = compute_occlusion_masks(ff, fb)
-        flows = (ff, fb)
+        return (ff, fb), occs
+
+    def gen_step(
+        self,
+        state: Stage2State,
+        lq_01: jnp.ndarray,
+        gt_01: jnp.ndarray,
+        latents: jnp.ndarray,
+        flows,
+        occs,
+    ):
+        """Generator half: one forward, three VJP pulls, Adam update on
+        (fusion+temporal params, logvar). Returns the updated state, the
+        detached recon (input to ``disc_step``), and metrics."""
+        cfg = self.cfg
+        t = cfg.num_frames
+        gt = gt_01 * 2.0 - 1.0
+        lq = lq_01 * 2.0 - 1.0
 
         def recon_fn(gen_trainable, frozen):
             params = merge_params(gen_trainable, frozen)
@@ -261,8 +271,21 @@ class Stage2Trainer:
             (state.gen_trainable, state.logvar), updates
         )
 
-        # discriminator step on detached recon
         recon_det = jax.lax.stop_gradient(aux.pop("recon"))
+        new_state = state._replace(
+            gen_trainable=gen_trainable, logvar=logvar, opt_g=opt_g)
+        metrics = {"loss_g": loss_g, **aux}
+        return new_state, recon_det, metrics
+
+    def disc_step(
+        self,
+        state: Stage2State,
+        gt_01: jnp.ndarray,
+        recon_det: jnp.ndarray,
+    ):
+        """Discriminator half on the detached recon; bumps ``step``."""
+        cfg = self.cfg
+        gt = gt_01 * 2.0 - 1.0
         disc_factor = adopt_weight(cfg.disc_factor, state.step, cfg.disc_start)
 
         def disc_loss_fn(dparams):
@@ -287,21 +310,39 @@ class Stage2Trainer:
         )
         disc_params = optax.apply_updates(state.disc["params"], d_updates)
 
-        new_state = Stage2State(
-            gen_trainable=gen_trainable,
-            gen_frozen=state.gen_frozen,
-            logvar=logvar,
+        new_state = state._replace(
             disc={"params": disc_params, **new_disc_vars},
-            aux=state.aux,
-            opt_g=opt_g,
             opt_d=opt_d,
             step=state.step + 1,
         )
         metrics = {
-            "loss_g": loss_g,
             "loss_d": loss_d,
             "logits_real": lr_m,
             "logits_fake": lf_m,
-            **aux,
         }
         return new_state, metrics
+
+    def train_step(
+        self,
+        state: Stage2State,
+        lq_01: jnp.ndarray,
+        gt_01: jnp.ndarray,
+        latents: jnp.ndarray,
+        rng: jax.Array,
+    ) -> Tuple[Stage2State, Dict[str, jnp.ndarray]]:
+        """lq_01 upscaled to GT size [bt,H,W,3] in [0,1]; latents already
+        divided by the diffusion scale factor (get_input: lts/0.18215).
+
+        One fused program: flows -> generator update -> discriminator
+        update (the reference's alternating-optimizer step,
+        autoencoder.py:1940-1988). At sizes where one fused compile is too
+        large (512px crashed the remote compile helper twice), jit
+        ``frozen_flows`` / ``gen_step`` / ``disc_step`` separately — the
+        math is identical (``rng`` is accepted for API stability; the
+        stage-2 step draws no noise)."""
+        del rng
+        flows, occs = self.frozen_flows(state, gt_01)
+        state, recon_det, metrics_g = self.gen_step(
+            state, lq_01, gt_01, latents, flows, occs)
+        state, metrics_d = self.disc_step(state, gt_01, recon_det)
+        return state, {**metrics_g, **metrics_d}

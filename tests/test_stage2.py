@@ -99,3 +99,40 @@ def test_stage2_full_step():
     d1 = traverse_util.flatten_dict(new_state.disc["params"], sep="/")
     assert any(not np.array_equal(np.asarray(d0[k]), np.asarray(d1[k]))
                for k in d0)
+
+
+def test_stage2_split_step_equals_fused():
+    """The three separately-jitted pieces (frozen_flows / gen_step /
+    disc_step — the 512px path: the fused compile crashed the remote
+    helper) must reproduce the fused train_step exactly: same metrics,
+    same updated parameters."""
+    t = 3
+    cfg = Stage2Config(num_frames=t, grad_accum=1, disc_start=0)
+    vcfg = VAEConfig(ch=32, ch_mult=(1, 1, 2, 2), num_res_blocks=1,
+                     num_frames=t, enable_fusion=True, num_fuse_block=1)
+    trainer = Stage2Trainer(vcfg, cfg)
+    h = w = 32
+    state = trainer.init_state(jax.random.PRNGKey(0), h, w)
+    lq = jnp.asarray(np.random.RandomState(0).rand(t, h, w, 3), jnp.float32)
+    gt = jnp.asarray(np.random.RandomState(1).rand(t, h, w, 3), jnp.float32)
+    lat = jnp.asarray(_rand(t, h // 8, w // 8, 4, seed=2))
+
+    fused_state, fused_m = jax.jit(trainer.train_step)(
+        state, lq, gt, lat, jax.random.PRNGKey(3))
+
+    fl, oc = jax.jit(trainer.frozen_flows)(state, gt)
+    st, recon, mg = jax.jit(trainer.gen_step)(state, lq, gt, lat, fl, oc)
+    st, md = jax.jit(trainer.disc_step)(st, gt, recon)
+    split_m = {**mg, **md}
+
+    assert set(split_m) == set(fused_m)
+    for k in fused_m:
+        np.testing.assert_allclose(np.asarray(split_m[k]),
+                                   np.asarray(fused_m[k]),
+                                   rtol=2e-5, atol=1e-6, err_msg=k)
+    a = traverse_util.flatten_dict(fused_state.gen_trainable, sep="/")
+    b = traverse_util.flatten_dict(st.gen_trainable, sep="/")
+    for k in a:
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                   rtol=2e-5, atol=1e-6, err_msg=k)
+    assert int(st.step) == int(fused_state.step) == 1

@@ -233,50 +233,14 @@ def main():
                   f"speedup {t_bf / t_i8:5.2f}x")
 
     if args.stage == "pconv":
-        # Pallas shifted-matmul conv vs XLA conv at the VAE decoder's hot
-        # stride-1 3x3 shapes (the 47-55%-MXU offenders in the r03 decode
-        # trace). ci==co everywhere so chained timing applies.
-        import functools
-
-        from mgldvsr_tpu.ops.pallas.conv3x3 import conv3x3_pallas
-
-        shapes = [
-            (t, 512, 512, 128),
-            (t, 256, 256, 256),
-            (t, 128, 128, 512),
-            (4 * t, 512, 512, 128),   # windows=4 batch
-        ]
-        dn = ("NHWC", "HWIO", "NHWC")
-        for (n, h, w, c) in shapes:
-            x = jax.random.normal(jax.random.PRNGKey(0), (n, h, w, c),
-                                  jnp.bfloat16)
-            k_ = (jax.random.normal(jax.random.PRNGKey(1), (3, 3, c, c))
-                  * 0.05).astype(jnp.bfloat16)
-            b_ = jnp.zeros((c,), jnp.float32)
-            b16 = b_.astype(x.dtype)  # keep the chained-loop carry bf16
-            conv = functools.partial(
-                jax.lax.conv_general_dilated, window_strides=(1, 1),
-                padding=((1, 1), (1, 1)), dimension_numbers=dn)
-            t_xla = timeit_amortized(lambda v: conv(v, k_) + b16, x,
-                                     n=16, iters=args.iters)
-            try:
-                t_pl = timeit_amortized(
-                    lambda v: conv3x3_pallas(v, k_, b_), x,
-                    n=16, iters=args.iters)
-                err = float(jnp.abs(
-                    conv3x3_pallas(x, k_, b_).astype(jnp.float32)
-                    - (conv(x, k_) + b_).astype(jnp.float32)).max())
-            except Exception as e:
-                t_pl, err = float("nan"), float("nan")
-                print(f"pallas conv failed at {n}x{h}x{w}x{c}: "
-                      f"{type(e).__name__} {e}")
-            gflop = 2 * n * h * w * c * c * 9 / 1e9
-            print(f"conv3x3 {n}x{h}x{w}x{c}: "
-                  f"xla {t_xla * 1e3:7.3f} ms ({gflop / t_xla / 1e3:6.1f} TF/s)"
-                  f"  pallas {t_pl * 1e3:7.3f} ms "
-                  f"({gflop / t_pl / 1e3:6.1f} TF/s)  "
-                  f"speedup {t_xla / t_pl:5.2f}x  maxerr {err:.4f}",
-                  flush=True)
+        # RETIRED (r04): the Pallas shifted-matmul conv3x3 measured
+        # 0.65-0.82x vs XLA on every decoder hot shape and OOMed at the
+        # 4-window batch (/tmp/bench_r04/pconv_micro3.log); the kernel and
+        # its MGLD_PALLAS_CONV dispatch were deleted. See NOTES.md
+        # "Retired experiments".
+        print("pconv stage retired: the Pallas conv3x3 lost to XLA on "
+              "hardware (0.65-0.82x) and was deleted; see NOTES.md")
+        return
 
     for k, v in res.items():
         print(f"{k:18s} {v * 1e3:9.2f} ms")

@@ -32,12 +32,12 @@ run() {
   sleep 20
 }
 
+run train2_512c  timeout 7200 python -u bench.py --mode train2 --size 512 --iters 3 --split-step
 run tile512_b    timeout 10800 env MGLD_PROGRESS=1 python -u bench.py --mode tile --pch-size 512 --pch-stride 448 --iters 2
 run tile960_ref  timeout 10800 env MGLD_PROGRESS=1 python -u bench.py --mode tile --pch-size 960 --pch-stride 750 --iters 2
-if [ -f "$OUT/pconv_go" ]; then
-  run seg_pconv  timeout 5400 env MGLD_PALLAS_CONV=auto python -u bench.py --iters 3
-  run tile512_pconv timeout 10800 env MGLD_PALLAS_CONV=auto MGLD_PROGRESS=1 python -u bench.py --mode tile --pch-size 512 --pch-stride 448 --iters 2
-fi
+# (phase-B pconv verdict was NO-GO: 0.65-0.82x vs XLA + batch-shape OOM;
+# the kernel/flag were deleted, so the formerly gated seg_pconv /
+# tile512_pconv items are gone with it)
 run train128_fix2 timeout 3600 python -u bench.py --mode train --size 128 --iters 3 --variants remat
 run train256_fix  timeout 3600 python -u bench.py --mode train --size 256 --iters 3 --variants remat
 run enc_consume   timeout 1800 python -u tools/profile_decode.py --stage encode --consume
