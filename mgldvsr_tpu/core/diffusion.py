@@ -57,9 +57,16 @@ def _guided_warp(lat: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     Pallas path (matmul forward AND matmul dL/dlatents — no scatter in the
     per-step gradient); elsewhere the XLA reference implementation."""
     if jax.default_backend() == "tpu":
-        from mgldvsr_tpu.ops.pallas.flow_warp import flow_warp_guided
+        from mgldvsr_tpu.ops.pallas.flow_warp import (
+            flow_warp_guided,
+            pallas_warp_fits,
+        )
 
-        return flow_warp_guided(lat, flow)
+        _, h, w, c = lat.shape
+        # big-latent geometries (e.g. the 960px tile patch, 92x120) blow
+        # the kernel's scoped-VMEM weight matrix — use the XLA warp there
+        if pallas_warp_fits(h, w, c):
+            return flow_warp_guided(lat, flow)
     return flow_warp(lat, flow)
 
 

@@ -23,6 +23,32 @@ from jax.experimental.pallas import tpu as pltpu
 
 ROWS_PER_BLOCK = 4
 
+# Scoped-VMEM budget for the dominant tenant, the one-hot weight matrix
+# [rb*W, H*W] fp32. Mosaic's stack limit is 16 MB; the 960px-tile latent
+# (92x120) measured a 16.8 MB requirement at rb=4 (compile-time OOM on
+# v5e), so budget conservatively and shrink rb / refuse the kernel.
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _pick_rb(h: int, w: int, c: int) -> int:
+    """Largest row-block whose weight matrix fits the VMEM budget alongside
+    the resident image block; 0 if even rb=1 does not fit (caller must take
+    the XLA warp instead)."""
+    hw = h * w
+    img = hw * c * 4
+    for rb in (ROWS_PER_BLOCK, 2, 1):
+        if h % rb:
+            continue
+        if rb * w * hw * 4 + img <= _VMEM_BUDGET:
+            return rb
+    return 0
+
+
+def pallas_warp_fits(h: int, w: int, c: int) -> bool:
+    """True when the one-hot-matmul warp kernel fits scoped VMEM at this
+    image shape (dispatch gate for ``flow_warp_guided``)."""
+    return _pick_rb(h, w, c) > 0
+
 
 def _warp_row_kernel(img_ref, flow_ref, out_ref):
     """img_ref: [1,H,W,C]; flow_ref: [1,R,W,2]; out_ref: [1,R,W,C]."""
@@ -75,7 +101,13 @@ def pallas_flow_warp(x: jnp.ndarray, flow: jnp.ndarray,
     """Bilinear backward-warp (zeros padding, align_corners=True semantics),
     Pallas forward + XLA backward. x: [N,H,W,C]; flow: [N,H,W,2]."""
     n, h, w, c = x.shape
-    rb = ROWS_PER_BLOCK if h % ROWS_PER_BLOCK == 0 else 1
+    rb = _pick_rb(h, w, c)
+    if rb == 0 and not interpret:
+        raise ValueError(
+            f"pallas_flow_warp: weight matrix for {h}x{w}x{c} exceeds the "
+            "scoped-VMEM budget; gate the call with pallas_warp_fits() and "
+            "use ops.warp.flow_warp instead")
+    rb = rb or 1
     return pl.pallas_call(
         _warp_row_kernel,
         grid=(n, h // rb),
@@ -167,7 +199,7 @@ def _warp_row_dx_kernel(g_ref, flow_ref, out_ref):
 def _pallas_warp_dx(g: jnp.ndarray, flow: jnp.ndarray,
                     interpret: bool = False) -> jnp.ndarray:
     n, h, w, c = g.shape
-    rb = ROWS_PER_BLOCK if h % ROWS_PER_BLOCK == 0 else 1
+    rb = _pick_rb(h, w, c) or 1
     return pl.pallas_call(
         _warp_row_dx_kernel,
         grid=(n, h // rb),

@@ -63,6 +63,30 @@ def test_flow_warp_guided_dx_matmul_matches():
     assert float(jnp.abs(gf).max()) == 0.0
 
 
+def test_pallas_warp_vmem_gate():
+    """Row-block picker shrinks rb (and refuses the kernel) before the
+    one-hot weight matrix [rb*W, H*W] blows the 16 MB scoped-VMEM stack.
+    Regression for the 960px-tile compile OOM (92x120 latent needed
+    16.8 MB at rb=4 on v5e)."""
+    from mgldvsr_tpu.ops.pallas.flow_warp import _pick_rb, pallas_warp_fits
+
+    assert _pick_rb(64, 64, 4) == 4          # segment latents: full block
+    assert _pick_rb(92, 120, 4) == 2         # the 960-tile shape shrinks
+    assert _pick_rb(91, 120, 4) == 1         # odd H: rb=1 only
+    assert _pick_rb(480, 270, 4) == 0        # 4K-frame latents: refuse
+    assert pallas_warp_fits(64, 64, 4)
+    assert not pallas_warp_fits(480, 270, 4)
+
+    # the fit==0 refusal is an explicit error, not a Mosaic OOM
+    import pytest
+
+    x = jnp.zeros((1, 256, 512, 16), jnp.float32)
+    fl = jnp.zeros((1, 256, 512, 2), jnp.float32)
+    if not pallas_warp_fits(256, 512, 16):
+        with pytest.raises(ValueError, match="scoped-VMEM"):
+            pallas_flow_warp(x, fl, False)
+
+
 def test_pallas_corr_lookup_matches_xla_reference():
     """Interpret-mode Pallas window lookup == the XLA block-gather lookup,
     including bilinear blending, level scaling, and far-out-of-range zeros."""
