@@ -29,5 +29,9 @@ run() {
 
 run s2_probe_512 timeout 7200 python -u tools/probe_s2_compile.py --size 512
 run train2_384_split timeout 5400 python -u bench.py --mode train2 --size 384 --iters 3 --split-step
+# tile re-measures on the fixed code: device-side gather (2b40eaa) and the
+# 960px patch geometry unblocked by the warp VMEM gate
+run tile512_c timeout 10800 env MGLD_PROGRESS=1 python -u bench.py --mode tile --pch-size 512 --pch-stride 448 --iters 2
+run tile960_ref_b timeout 10800 env MGLD_PROGRESS=1 python -u bench.py --mode tile --pch-size 960 --pch-stride 750 --iters 2
 
 echo "=== [$(date +%H:%M:%S)] QUEUE-R04D COMPLETE" | tee -a "$OUT/queue.log"
