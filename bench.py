@@ -54,6 +54,10 @@ def main():
                          "vqgantile_size; 960 default — smaller values "
                          "trade protocol fidelity for compile size)")
     ap.add_argument("--pch-stride", type=int, default=750)
+    ap.add_argument("--tile-overlap", type=int, default=32,
+                    help="tile mode: latent canvas tile overlap (reference "
+                         "--tile_overlap default 32; 16 with a whole-frame "
+                         "patch gives the minimum tile cover at 1280x736)")
     ap.add_argument("--split-step", action="store_true",
                     help="train2: jit flows/generator/discriminator as "
                          "three programs instead of one fused step "
@@ -298,6 +302,7 @@ def main():
         lq = jax.random.uniform(jax.random.PRNGKey(1), (t, lh, lw, 3))
         tile_kw = dict(use_guidance=not args.no_guidance,
                        pch_size=args.pch_size, pch_stride=args.pch_stride,
+                       tile_overlap=args.tile_overlap,
                        patch_batch=args.patch_batch)
         if args.tiny:  # keep the working size tiny (default min_side=512)
             tile_kw.update(min_side=lh * 4, pch_size=min(args.pch_size, 64),

@@ -23,23 +23,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 ROWS_PER_BLOCK = 4
 
-# Scoped-VMEM budget for the dominant tenant, the one-hot weight matrix
-# [rb*W, H*W] fp32. Mosaic's stack limit is 16 MB; the 960px-tile latent
-# (92x120) measured a 16.8 MB requirement at rb=4 (compile-time OOM on
-# v5e), so budget conservatively and shrink rb / refuse the kernel.
-_VMEM_BUDGET = 12 * 1024 * 1024
+# Scoped-VMEM budget. Mosaic's stack limit is 16 MB and the kernel keeps
+# TWO [rb*W, H*W] matrices live — the fp32 one-hot weight matrix and the
+# int32 ``p_iota`` pixel-index matrix it is compared against — plus the
+# resident image block. Budgeting only the weight matrix under-counted:
+# the 960px-tile latent (92x120, rb=4) measured 16.8 MB and the
+# whole-frame 1280px latent (92x160, rb=1) 16.18 MB at compile time (both
+# scoped-VMEM OOM on v5e). Model both tenants + 1 MB slack against 15 MB.
+_VMEM_BUDGET = 15 * 1024 * 1024
+_VMEM_SLACK = 1 * 1024 * 1024
 
 
 def _pick_rb(h: int, w: int, c: int) -> int:
-    """Largest row-block whose weight matrix fits the VMEM budget alongside
-    the resident image block; 0 if even rb=1 does not fit (caller must take
-    the XLA warp instead)."""
+    """Largest row-block whose working set (one-hot weights fp32 + p_iota
+    int32 + resident image) fits the VMEM budget; 0 if even rb=1 does not
+    fit (caller must take the XLA warp instead)."""
     hw = h * w
     img = hw * c * 4
     for rb in (ROWS_PER_BLOCK, 2, 1):
         if h % rb:
             continue
-        if rb * w * hw * 4 + img <= _VMEM_BUDGET:
+        if 2 * rb * w * hw * 4 + img + _VMEM_SLACK <= _VMEM_BUDGET:
             return rb
     return 0
 

@@ -65,16 +65,20 @@ def test_flow_warp_guided_dx_matmul_matches():
 
 def test_pallas_warp_vmem_gate():
     """Row-block picker shrinks rb (and refuses the kernel) before the
-    one-hot weight matrix [rb*W, H*W] blows the 16 MB scoped-VMEM stack.
-    Regression for the 960px-tile compile OOM (92x120 latent needed
-    16.8 MB at rb=4 on v5e)."""
+    kernel's working set — one-hot weight matrix [rb*W, H*W] fp32 PLUS the
+    same-sized p_iota int32 matrix — blows the 16 MB scoped-VMEM stack.
+    Regression for two measured compile OOMs on v5e: the 960px-tile latent
+    (92x120, 16.8 MB at rb=4) and the whole-frame 1280px latent (92x160,
+    16.18 MB even at rb=1 — the old weights-only accounting said 9.4 MB
+    and let it through)."""
     from mgldvsr_tpu.ops.pallas.flow_warp import _pick_rb, pallas_warp_fits
 
     assert _pick_rb(64, 64, 4) == 4          # segment latents: full block
-    assert _pick_rb(92, 120, 4) == 2         # the 960-tile shape shrinks
-    assert _pick_rb(91, 120, 4) == 1         # odd H: rb=1 only
+    assert _pick_rb(92, 120, 4) == 1         # the 960-tile shape shrinks
+    assert _pick_rb(92, 160, 4) == 0         # whole-1280px-frame: refuse
     assert _pick_rb(480, 270, 4) == 0        # 4K-frame latents: refuse
     assert pallas_warp_fits(64, 64, 4)
+    assert not pallas_warp_fits(92, 160, 4)
     assert not pallas_warp_fits(480, 270, 4)
 
     # the fit==0 refusal is an explicit error, not a Mosaic OOM

@@ -26,7 +26,7 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--frames", type=int, default=5)
     ap.add_argument("--piece", default="all",
-                    choices=["all", "flows", "gen", "disc", "gen_noad"])
+                    choices=["all", "flows", "gen", "disc", "gen_noad", "genbisect"])
     args = ap.parse_args()
 
     import jax
@@ -119,6 +119,58 @@ def main():
     if args.piece in ("all", "disc"):
         results["disc"] = try_compile(
             "disc", trainer.disc_step, state, gt, gt)
+    if args.piece == "genbisect":
+        # gen failed at 512 even single-pull (r04g): bisect WHICH loss
+        # term's backward kills the compile helper. Each variant is the
+        # recon forward + ONE jax.grad over a subset of the loss terms.
+        import jax as _jax
+        from mgldvsr_tpu.train.trainer import merge_params
+        from mgldvsr_tpu.train.losses import l1_diff, swc_loss
+
+        cfg = trainer.cfg
+
+        def recon_of(gen_trainable, lq2):
+            params = merge_params(gen_trainable, state.gen_frozen)
+            _, enc_fea = trainer.vae.apply(params, lq2, method="encode")
+            return trainer.vae.apply(
+                params, lat, enc_fea, cfg.fusion_w, method="decode")
+
+        def make(terms):
+            def loss_fn(gen_trainable, lq_, gt_):
+                lq2 = lq_ * 2.0 - 1.0
+                gt2 = gt_ * 2.0 - 1.0
+                recon = recon_of(gen_trainable, lq2)
+                w = jnp.mean(jnp.abs(gt2 - recon))
+                if "lpips" in terms:
+                    p = trainer.lpips.apply(state.aux["lpips"], gt2, recon)
+                    w = w + jnp.mean(p)
+                if "diff" in terms:
+                    d = l1_diff(gt2, recon, cfg.num_frames)
+                    w = w + jnp.mean(d) / d.shape[0]
+                if "swc" in terms:
+                    w = w + swc_loss(gt2, recon, cfg.num_frames, fl, oc)
+                if "gan" in terms:
+                    logits = trainer.disc.apply(
+                        {"params": state.disc["params"],
+                         **{k: v for k, v in state.disc.items()
+                            if k != "params"}}, recon, train=False)
+                    w = w - jnp.mean(logits)
+                return w
+
+            def step(gen_trainable, lq_, gt_):
+                return _jax.grad(loss_fn)(gen_trainable, lq_, gt_)
+            return step
+
+        def fwd_only(gen_trainable, lq_):
+            return jnp.mean(recon_of(gen_trainable, lq_ * 2.0 - 1.0))
+
+        results["g_fwd"] = try_compile(
+            "g_fwd", fwd_only, state.gen_trainable, lq)
+        for name, terms in [("g_l1", ()), ("g_lpips", ("lpips",)),
+                            ("g_diff", ("diff",)), ("g_swc", ("swc",)),
+                            ("g_gan", ("gan",))]:
+            results[name] = try_compile(
+                name, make(terms), state.gen_trainable, lq, gt)
     import json
     print(json.dumps({"probe": "s2_compile", "size": size,
                       "results": results}))
