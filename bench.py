@@ -63,6 +63,11 @@ def main():
                          "three programs instead of one fused step "
                          "(identical math; the fused 512px compile "
                          "crashed the remote helper)")
+    ap.add_argument("--remat2", action="store_true",
+                    help="train2: per-block activation remat in the VAE "
+                         "(VAEConfig.use_checkpoint) — the generator step "
+                         "runs fwd+bwd over pixel-space activations, the "
+                         "same lever stage-1 needs at 512px")
     ap.add_argument("--patch-batch", type=int, default=None,
                     help="tile mode: canvas patches batched per compiled "
                          "call along the window axis (default: auto-fit "
@@ -229,8 +234,11 @@ def main():
         from mgldvsr_tpu.train.stage2 import Stage2Config, Stage2Trainer
 
         try:
+            import dataclasses as _dc
+            vae_cfg = (_dc.replace(cfg.vae, use_checkpoint=True)
+                       if args.remat2 else cfg.vae)
             trainer = Stage2Trainer(
-                cfg.vae, Stage2Config(grad_accum=1, num_frames=t))
+                vae_cfg, Stage2Config(grad_accum=1, num_frames=t))
             state = trainer.init_state(jax.random.PRNGKey(0), size, size)
             if args.split_step:
                 # three programs instead of one fused step: at 512px the

@@ -59,6 +59,10 @@ class VAEConfig:
     num_frames: int = 1          # >1 => temporal mixing in the decoder
     enable_fusion: bool = False  # LQ-feature fusion taps (VideoDecoder_Mix)
     num_fuse_block: int = 2
+    use_checkpoint: bool = False  # per-block activation remat (training):
+    # stage-2 runs fwd+bwd over PIXEL-space activations (512^2 x frames),
+    # where the un-rematerialized backward's residency is the limiting
+    # factor — same lever as UNetConfig.use_checkpoint, same param tree.
     dtype: Any = jnp.float32
 
 
@@ -70,14 +74,16 @@ class Encoder(nn.Module):
         cfg = self.cfg
         dt = cfg.dtype
         num_res = len(cfg.ch_mult)
+        res_cls = (nn.remat(VAEResnetBlock) if cfg.use_checkpoint
+                   else VAEResnetBlock)
         curr_res = cfg.resolution
         h = conv3x3(cfg.ch, dt, name="conv_in")(x)
         fea_list = []
         for i_level in range(num_res):
             block_out = cfg.ch * cfg.ch_mult[i_level]
             for i_block in range(cfg.num_res_blocks):
-                h = VAEResnetBlock(block_out, cfg.dropout, dt,
-                                   name=f"down_{i_level}_block_{i_block}")(h)
+                h = res_cls(block_out, cfg.dropout, dt,
+                            name=f"down_{i_level}_block_{i_block}")(h)
                 if curr_res in cfg.attn_resolutions:
                     h = VAEAttnBlock(dt, name=f"down_{i_level}_attn_{i_block}")(h)
             if return_fea and i_level in (1, 2):
@@ -85,9 +91,9 @@ class Encoder(nn.Module):
             if i_level != num_res - 1:
                 h = VAEDownsample(block_out, dt, name=f"down_{i_level}_downsample")(h)
                 curr_res //= 2
-        h = VAEResnetBlock(h.shape[-1], cfg.dropout, dt, name="mid_block_1")(h)
+        h = res_cls(h.shape[-1], cfg.dropout, dt, name="mid_block_1")(h)
         h = VAEAttnBlock(dt, name="mid_attn_1")(h)
-        h = VAEResnetBlock(h.shape[-1], cfg.dropout, dt, name="mid_block_2")(h)
+        h = res_cls(h.shape[-1], cfg.dropout, dt, name="mid_block_2")(h)
         out_c = 2 * cfg.z_channels if cfg.double_z else cfg.z_channels
         h = norm_silu_conv3x3(h, out_c, dt, "conv_out", "GroupNorm_0",
                               eps=1e-6)
@@ -246,21 +252,24 @@ class Decoder(nn.Module):
         dt = cfg.dtype
         num_res = len(cfg.ch_mult)
         temporal = cfg.num_frames > 1
+        res_cls = (nn.remat(VAEResnetBlock) if cfg.use_checkpoint
+                   else VAEResnetBlock)
+        fuse_cls = nn.remat(FuseBlock) if cfg.use_checkpoint else FuseBlock
         block_in = cfg.ch * cfg.ch_mult[num_res - 1]
         curr_res = cfg.resolution // 2 ** (num_res - 1)
 
         h = conv3x3(block_in, dt, name="conv_in")(z)
-        h = VAEResnetBlock(block_in, cfg.dropout, dt, name="mid_block_1")(h)
+        h = res_cls(block_in, cfg.dropout, dt, name="mid_block_1")(h)
         if temporal:
             h = SpatialTemporalConv(cfg.num_frames, dt, name="mid_temporal")(h)
         h = VAEAttnBlock(dt, name="mid_attn_1")(h)
-        h = VAEResnetBlock(block_in, cfg.dropout, dt, name="mid_block_2")(h)
+        h = res_cls(block_in, cfg.dropout, dt, name="mid_block_2")(h)
 
         for i_level in reversed(range(num_res)):
             block_out = cfg.ch * cfg.ch_mult[i_level]
             for i_block in range(cfg.num_res_blocks + 1):
-                h = VAEResnetBlock(block_out, cfg.dropout, dt,
-                                   name=f"up_{i_level}_block_{i_block}")(h)
+                h = res_cls(block_out, cfg.dropout, dt,
+                            name=f"up_{i_level}_block_{i_block}")(h)
                 if temporal:
                     h = SpatialTemporalConv(cfg.num_frames, dt,
                                             name=f"up_{i_level}_temporal_{i_block}")(h)
@@ -268,8 +277,8 @@ class Decoder(nn.Module):
                     h = VAEAttnBlock(dt, name=f"up_{i_level}_attn_{i_block}")(h)
             if (cfg.enable_fusion and enc_fea is not None
                     and i_level in (1, 2)):
-                h = FuseBlock(block_out, cfg.num_fuse_block, dt,
-                              name=f"fusion_layer_{i_level}")(
+                h = fuse_cls(block_out, cfg.num_fuse_block, dt,
+                             name=f"fusion_layer_{i_level}")(
                     enc_fea[i_level - 1], h, fusion_w)
             if i_level != 0:
                 h = Upsample(block_out, True, dt, name=f"up_{i_level}_upsample")(h)

@@ -136,3 +136,47 @@ def test_stage2_split_step_equals_fused():
         np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
                                    rtol=2e-5, atol=1e-6, err_msg=k)
     assert int(st.step) == int(fused_state.step) == 1
+
+
+def test_vae_use_checkpoint_identical_tree_and_outputs():
+    """VAEConfig.use_checkpoint (per-block remat for the pixel-space
+    stage-2 fwd+bwd) must not change the parameter tree or the math —
+    only the backward's rematerialization schedule."""
+    import dataclasses
+
+    from mgldvsr_tpu.models.vae import VideoAutoencoderKLResi
+
+    cfg = VAEConfig(ch=32, ch_mult=(1, 1, 2, 2), num_frames=5,
+                    enable_fusion=True, num_res_blocks=1)
+    k = jax.random.PRNGKey(0)
+    frames = jax.random.uniform(k, (5, 32, 32, 3))
+    lat = jnp.zeros((5, 4, 4, 4))
+    plain = VideoAutoencoderKLResi(cfg)
+    remat = VideoAutoencoderKLResi(
+        dataclasses.replace(cfg, use_checkpoint=True))
+    params = plain.init(k, frames, lat)
+    params_r = remat.init(k, frames, lat)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_r))
+
+    m_a, fea_a = plain.apply(params, frames, method="encode")
+    m_b, fea_b = remat.apply(params, frames, method="encode")
+    np.testing.assert_array_equal(np.asarray(m_a), np.asarray(m_b))
+    d_a = plain.apply(params, lat, fea_a, 1.0, method="decode")
+    d_b = remat.apply(params, lat, fea_b, 1.0, method="decode")
+    np.testing.assert_array_equal(np.asarray(d_a), np.asarray(d_b))
+
+    # gradient through the remat decoder matches the plain one
+    def loss(mod):
+        def f(p):
+            _, fea = mod.apply(p, frames, method="encode")
+            return jnp.mean(
+                jnp.abs(mod.apply(p, lat, fea, 1.0, method="decode")))
+        return f
+
+    g_a = jax.grad(loss(plain))(params)
+    g_b = jax.grad(loss(remat))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_a),
+                    jax.tree_util.tree_leaves(g_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-6, rtol=1e-5)

@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--frames", type=int, default=5)
     ap.add_argument("--piece", default="all",
                     choices=["all", "flows", "gen", "disc", "gen_noad", "genbisect"])
+    ap.add_argument("--remat", action="store_true",
+                    help="per-block activation remat in the VAE "
+                         "(VAEConfig.use_checkpoint)")
     args = ap.parse_args()
 
     import jax
@@ -37,7 +40,8 @@ def main():
 
     t, size = args.frames, args.size
     trainer = Stage2Trainer(
-        VAEConfig(num_frames=t, enable_fusion=True, dtype=jnp.bfloat16),
+        VAEConfig(num_frames=t, enable_fusion=True, dtype=jnp.bfloat16,
+                  use_checkpoint=args.remat),
         Stage2Config(grad_accum=1, num_frames=t))
     state = trainer.init_state(jax.random.PRNGKey(0), size, size)
     lq = jnp.zeros((t, size, size, 3))
