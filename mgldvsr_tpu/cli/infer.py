@@ -163,7 +163,8 @@ def main(argv=None):
                          "oldcanvas_tile.py --vqgantile_size default 960; "
                          "measured on v5e at 1280x720 the 512/448 grid is "
                          "2.3x faster than the 960/750 default — see "
-                         "NOTES.md tile geometry accounting)")
+                         "NOTES.md tile geometry accounting; 0 = auto: "
+                         "one canvas tile per patch, stride 7/8)")
     ap.add_argument("--vqgantile-stride", type=int, default=750,
                     help="tile mode: pixel patch stride (reference "
                          "--vqgantile_stride default 750; pair with "

@@ -529,6 +529,16 @@ class MGLDVSRPipeline:
                 _t0 = now
 
         cfg = self.cfg
+        # pch_size<=0 selects the measured-optimal TPU geometry instead of
+        # the reference's 960/750 default: one canvas tile per patch
+        # (8*tile px), stride 7/8 of that. At 1280x736 this is the 512/448
+        # grid that measured 0.2935 vs 0.125 fps on v5e — single-tile
+        # patches batch onto the MXU like the fixed segment path (the
+        # 960/750 default costs 2x the UNet tile-evals at this frame size).
+        if pch_size <= 0:
+            pch_size = 8 * tile
+        if pch_stride <= 0:
+            pch_stride = max(pch_size * 7 // 8, 1)
         t, h0, w0, _ = lq_frames_01.shape
         # Reference pre-upscale (oldcanvas_tile.py:350-357): ONE bicubic
         # resize by max(min_side/size_min, sf) with int-truncated dims.

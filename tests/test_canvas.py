@@ -113,3 +113,20 @@ def test_restore_video_full_protocol_awkward_size():
     assert out.shape == (t, 66, 44, 3)
     assert np.isfinite(out).all()
     assert out.min() >= 0.0 and out.max() <= 1.0
+
+
+def test_restore_video_auto_geometry_matches_explicit():
+    """pch_size<=0 resolves to the measured-optimal grid: one canvas tile
+    per patch (8*tile px) with stride 7/8 of it — bit-identical to passing
+    those values explicitly."""
+    pipe = MGLDVSRPipeline(tiny_config(ddpm_steps=2))
+    t = pipe.cfg.num_frames
+    frames = jnp.asarray(np.random.RandomState(1).rand(t, 13, 11, 3),
+                         jnp.float32)
+    params = pipe.init_params(jax.random.PRNGKey(0), 64, 64)
+    kw = dict(min_side=64, tile=4, tile_overlap=2)
+    auto = pipe.restore_video(params, frames, jax.random.PRNGKey(1),
+                              pch_size=0, pch_stride=0, **kw)
+    explicit = pipe.restore_video(params, frames, jax.random.PRNGKey(1),
+                                  pch_size=32, pch_stride=28, **kw)
+    np.testing.assert_array_equal(np.asarray(auto), np.asarray(explicit))
