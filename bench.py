@@ -44,6 +44,12 @@ def main():
                          "on v5e 16GB: 1.84 vs 1.63 fps solo; equivalence-"
                          "tested), 1 for --tiny.")
     ap.add_argument("--baseline-fps", type=float, default=0.25)
+    ap.add_argument("--flow-scale", type=float, default=None,
+                    help="segment mode: resolution RAFT runs at relative "
+                         "to the working size (default: config 0.5). The "
+                         "reference fixed script runs flows at FULL res "
+                         "(old.py:344-348) — 1.0 is the protocol-faithful "
+                         "setting, 0.5 the measured speed knob.")
     ap.add_argument("--no-guidance", action="store_true")
     ap.add_argument("--decode-chunk", type=int, default=None,
                     help="segment mode: VAE-decode this many windows per "
@@ -297,6 +303,9 @@ def main():
     if args.decode_chunk:
         import dataclasses as _dc
         cfg = _dc.replace(cfg, decode_chunk_windows=args.decode_chunk)
+    if args.flow_scale is not None:
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, flow_scale=args.flow_scale)
     pipe = MGLDVSRPipeline(cfg)
     rng = jax.random.PRNGKey(0)
     # fast shape-based init (host-side; no XLA compile)

@@ -34,6 +34,16 @@ def build_pipeline(args):
     from mgldvsr_tpu.models.vae import VAEConfig
 
     dt = jnp.bfloat16 if args.bf16 else jnp.float32
+
+    def _mk(cfg):
+        # --flow-scale overrides the config's RAFT working-resolution knob
+        # (segment/latent modes; tile mode passes its own protocol scale)
+        if getattr(args, "flow_scale", None) is not None:
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, flow_scale=args.flow_scale)
+        return MGLDVSRPipeline(cfg)
+
     if args.preset == "tiny":
         # CI/smoke config: same graph shapes, 10x smaller widths
         cfg = PipelineConfig(
@@ -55,7 +65,7 @@ def build_pipeline(args):
             clip=CLIPTextConfig(width=32, heads=2, layers=2, dtype=dt),
             raft=RAFTConfig(iters=2),
         )
-        return MGLDVSRPipeline(cfg)
+        return _mk(cfg)
     if getattr(args, "model_cfg", None):
         import dataclasses
 
@@ -75,7 +85,7 @@ def build_pipeline(args):
                 cfg = dataclasses.replace(
                     cfg, **{name: dataclasses.replace(
                         getattr(cfg, name), dtype=dt)})
-        return MGLDVSRPipeline(cfg)
+        return _mk(cfg)
     cfg = PipelineConfig(
         ddpm_steps=args.ddpm_steps,
         guidance_scale=args.guidance,
@@ -87,7 +97,7 @@ def build_pipeline(args):
         clip=CLIPTextConfig(dtype=dt),
         raft=RAFTConfig(),
     )
-    return MGLDVSRPipeline(cfg)
+    return _mk(cfg)
 
 
 def load_or_init_params(pipe, args):
@@ -168,7 +178,12 @@ def main(argv=None):
     ap.add_argument("--vqgantile-stride", type=int, default=750,
                     help="tile mode: pixel patch stride (reference "
                          "--vqgantile_stride default 750; pair with "
-                         "--vqgantile-size 512 -> stride 448)")
+                         "--vqgantile-size 512 -> stride 448; 0 = auto: "
+                         "7/8 of the patch in latent units. With "
+                         "--vqgantile-size 0 a stale stride >= the auto "
+                         "patch size is auto-resolved too, so the "
+                         "recommended '--vqgantile-size 0' alone yields "
+                         "the measured 512/448 overlap grid)")
     ap.add_argument("--tile-overlap", type=int, default=32,
                     help="tile mode: latent canvas tile overlap (reference "
                          "--tile_overlap default 32)")
@@ -197,6 +212,16 @@ def main(argv=None):
                          "one RNG key so noise realizations differ — "
                          "statistically, not bitwise, equivalent at "
                          "temperature>0)")
+    ap.add_argument("--flow-scale", type=float, default=None,
+                    help="resolution RAFT runs at, relative to the working "
+                         "size. Default: the pipeline config (0.5). The "
+                         "reference's fixed script computes flows at FULL "
+                         "working resolution (old.py:344-348) — pass 1.0 "
+                         "for the protocol-faithful setting; 0.5 is the "
+                         "measured speed knob (flows are only consumed at "
+                         "1/8 latent res). Tile mode has its own protocol "
+                         "scale (0.25, oldcanvas_tile.py:396) and ignores "
+                         "this flag unless set explicitly.")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--no-bf16", dest="bf16", action="store_false")
@@ -310,6 +335,8 @@ def main(argv=None):
                     pch_stride=args.vqgantile_stride,
                     tile_overlap=args.tile_overlap,
                     min_side=args.min_side,
+                    **({"flow_scale": args.flow_scale}
+                       if args.flow_scale is not None else {}),
                     patch_batch=args.patch_batch,
                     patch_devices=(jax.devices()
                                    if args.patch_parallel else None))

@@ -535,10 +535,19 @@ class MGLDVSRPipeline:
         # grid that measured 0.2935 vs 0.125 fps on v5e — single-tile
         # patches batch onto the MXU like the fixed segment path (the
         # 960/750 default costs 2x the UNet tile-evals at this frame size).
-        if pch_size <= 0:
+        size_auto = pch_size <= 0
+        if size_auto:
             pch_size = 8 * tile
-        if pch_stride <= 0:
-            pch_stride = max(pch_size * 7 // 8, 1)
+        # An auto-resolved size with a stale explicit stride (e.g. the
+        # reference's 750 default paired with --pch-size 0) would clamp to a
+        # zero-overlap grid — auto-resolve the stride too whenever the size
+        # was auto and the stride can't produce overlap.
+        if pch_stride <= 0 or (size_auto and pch_stride >= pch_size):
+            # Auto stride = 7/8 of the patch, computed in LATENT units and
+            # scaled back up: the flow/mask spliters walk at pch_stride//8,
+            # so a non-/8-aligned pixel stride would desync the pixel patch
+            # grid from its flow patches by up to 7 px.
+            pch_stride = 8 * max((pch_size * 7) // 64, 1)
         t, h0, w0, _ = lq_frames_01.shape
         # Reference pre-upscale (oldcanvas_tile.py:350-357): ONE bicubic
         # resize by max(min_side/size_min, sf) with int-truncated dims.

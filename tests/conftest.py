@@ -38,6 +38,34 @@ jax.config.update("jax_default_matmul_precision", "highest")
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True)
+def _deterministic_rngs(request):
+    """Order-robust global RNG: seed torch/numpy/random per-test from the
+    test's node id.
+
+    Without this, any test drawing from the torch global generator sees a
+    position that depends on how much RNG every *earlier* test consumed —
+    the round-4 full-suite-only failure of
+    ``test_hifacegan_generator_oracle`` (passes in isolation, fails after
+    3000s of preceding tests) was exactly this: an earlier test's
+    ``seed_everything`` pinned the stream so the full ordering
+    deterministically landed on an ill-conditioned draw. Node-id-derived
+    seeds make every test's draws a pure function of its own name.
+    """
+    import random as _random
+    import zlib
+
+    seed = zlib.crc32(request.node.nodeid.encode())
+    _random.seed(seed)
+    import numpy as _np
+
+    _np.random.seed(seed & 0x7FFFFFFF)
+    _torch = sys.modules.get("torch")
+    if _torch is not None:
+        _torch.manual_seed(seed)
+    yield
+
+
 @pytest.fixture(scope="session")
 def rng():
     return jax.random.PRNGKey(0)
