@@ -76,6 +76,11 @@ def main():
                          "three programs instead of one fused step "
                          "(identical math; the fused 512px compile "
                          "crashed the remote helper)")
+    ap.add_argument("--remat-min-res", type=int, default=0,
+                    help="train2 + --remat2: only VAE blocks at spatial "
+                         "height >= this are rematerialized (0 = all, the "
+                         "r4 behavior); low-res blocks are cheap to save "
+                         "and expensive to recompute")
     ap.add_argument("--remat2", action="store_true",
                     help="train2: per-block activation remat in the VAE "
                          "(VAEConfig.use_checkpoint) — the generator step "
@@ -248,7 +253,8 @@ def main():
 
         try:
             import dataclasses as _dc
-            vae_cfg = (_dc.replace(cfg.vae, use_checkpoint=True)
+            vae_cfg = (_dc.replace(cfg.vae, use_checkpoint=True,
+                                   remat_min_res=args.remat_min_res)
                        if args.remat2 else cfg.vae)
             trainer = Stage2Trainer(
                 vae_cfg, Stage2Config(grad_accum=1, num_frames=t))

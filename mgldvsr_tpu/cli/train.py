@@ -150,6 +150,11 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=23)
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model configs (smoke/CI)")
+    ap.add_argument("--platform", choices=["cpu", "tpu"], default=None,
+                    help="pin the JAX platform in-process (the axon "
+                         "sitecustomize overrides the JAX_PLATFORMS env "
+                         "var, so CI/smoke runs that must NOT touch the "
+                         "chip need --platform cpu)")
     ap.add_argument("--no-tb", action="store_true",
                     help="disable tensorboard event files")
     ap.add_argument("--sample-rows", action="store_true",
@@ -181,6 +186,9 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     import numpy as np
 
@@ -327,6 +335,12 @@ def main(argv=None):
                     state, metrics = step_fn(state, lq, gt, k)
                     step = int(state.step)
                     if is_main:
+                        if step % args.log_every == 0:
+                            # peak HBM at log cadence (a host RPC per query;
+                            # soak runs watch for allocator creep over hours)
+                            _st = jax.local_devices()[0].memory_stats() or {}
+                            metrics = dict(metrics, peak_hbm_gb=_st.get(
+                                "peak_bytes_in_use", 0) / 2**30)
                         msg(step, metrics, lr=args.lr)
                     ckpt.save(step, state,
                               metrics={k_: float(v) for k_, v in metrics.items()})
@@ -413,8 +427,13 @@ def main(argv=None):
                     state, metrics = step_fn(state, lq, gt, lat, k)
                     step = int(state.step)
                     if is_main:
-                        msg(step, {k_: v for k_, v in metrics.items()
-                                   if np.ndim(v) == 0}, lr=args.lr)
+                        metrics = {k_: v for k_, v in metrics.items()
+                                   if np.ndim(v) == 0}
+                        if step % args.log_every == 0:
+                            _st = jax.local_devices()[0].memory_stats() or {}
+                            metrics = dict(metrics, peak_hbm_gb=_st.get(
+                                "peak_bytes_in_use", 0) / 2**30)
+                        msg(step, metrics, lr=args.lr)
                     ckpt.save(step, state)
                     if step >= args.max_steps:
                         break

@@ -595,11 +595,19 @@ class MGLDVSRPipeline:
         # Reference protocol: the SAME seed for every patch (tile.py:428).
         keys = [rng] * len(patches)
         devices = list(patch_devices) if patch_devices else []
+        if patch_batch is None:
+            ph_px, pw_px = patches[0].shape[1:3]
+            patch_batch = self._patch_batch_envelope(
+                ph_px, pw_px, device=devices[0] if devices else None)
         if len(devices) > 1 and len(patches) > 1:
-            outs = self._restore_patches_sharded(
-                params, patches, keys, flow_patches, devices, dec_w,
+            full = self._restore_patches_sharded(
+                params, patches, rng, flow_patches, devices, dec_w,
                 use_guidance, deterministic,
-                (tile, tile_overlap, batch_tiles))
+                (tile, tile_overlap, batch_tiles), patch_batch,
+                spliter, frames.shape, upsample_scale, (work_h, work_w))
+            _mark(f"patch loop sharded ({len(patches)} over "
+                  f"{len(devices)} devices) + device gather")
+            return full
         else:
             # Patch batching: K same-shape patches ride the window axis of
             # ONE compiled program — the 512px 6-window segment batch
@@ -609,12 +617,6 @@ class MGLDVSRPipeline:
             # window so each patch still receives the identical noise a
             # solo same-seed call would (reference per-patch re-seed,
             # tile.py:428) — batched output == sequential output.
-            if patch_batch is None:
-                # measured-fit envelope: the 6-window 512px batch is the
-                # largest program known to fit one v5e chip with full-batch
-                # decode (r03/r04 ladders; 8w needed chunked decode)
-                ph_px, pw_px = patches[0].shape[1:3]
-                patch_batch = max(1, (6 * 512 * 512) // (ph_px * pw_px))
             kb = max(1, min(patch_batch, len(patches)))
             patch_fn = self._canvas_patch_jit(
                 dec_w, use_guidance, deterministic,
@@ -655,28 +657,40 @@ class MGLDVSRPipeline:
             _mark(f"patch loop ({len(patches)}) + device gather "
                   f"(drain {_time.perf_counter() - _tp:.2f}s)")
             return full
-        _mark(f"patch loop ({len(patches)})")
-        # patches are in [-1,1] (pre-clamp); average overlaps first, THEN
-        # clamp to [0,1] — the reference's order (oldcanvas_tile.py:473-475)
-        full = spliter.gather(outs)
-        full = np.clip((full + 1.0) / 2.0, 0.0, 1.0)
-        _mark("gather")
-        if upsample_scale > cfg.sf:
-            # The reference downscales the PADDED frame by sf/upsample_scale
-            # (tile.py:523-531) and only then applies the flag_pad crop —
-            # which at the downscaled size is a no-op, so a scaled remnant
-            # of the reflect pad survives in the output. Replicated exactly
-            # for protocol parity (quirk documented, not endorsed).
-            ph, pw = full.shape[1:3]
-            out_h = int(ph * cfg.sf / upsample_scale)
-            out_w = int(pw * cfg.sf / upsample_scale)
-            full = np.asarray(resize2d(jnp.asarray(full), (out_h, out_w),
-                                       method="bicubic"))
-            full = np.clip(full, 0.0, 1.0)
-            _mark("final downscale")
-        if pad_h or pad_w:
-            full = full[:, : work_h, : work_w, :]
-        return full
+
+    # largest full-batch-decode canvas program measured to fit a v5e
+    # (r03/r04 ladders: 6 512px windows; 8 needed chunked decode), and the
+    # marketing byte count of that chip's HBM for scaling to other parts
+    _ENVELOPE_BASE_PX = 6 * 512 * 512
+    _ENVELOPE_BASE_BYTES = 16e9
+
+    def _patch_batch_envelope(self, ph: int, pw: int, device=None) -> int:
+        """Auto window-axis patch batch: the measured v5e fit envelope,
+        scaled by the device's reported HBM when it differs materially.
+
+        Within +-25% of the v5e's 16 GB the measured constant is used
+        verbatim (allocator reserves and GiB-vs-GB reporting make small
+        ratios meaningless — scaling the measured fit by 0.93 would
+        silently drop the known-good 6-window batch to 5). Note the axon
+        tunnel reports EMPTY memory_stats; absent stats mean v5e behavior.
+        """
+        px = self._ENVELOPE_BASE_PX
+        dev = device
+        if dev is None:
+            devs = jax.devices()
+            dev = devs[0] if devs else None
+        limit = None
+        if dev is not None:
+            try:
+                stats = dev.memory_stats() or {}
+            except Exception:
+                stats = {}
+            limit = stats.get("bytes_limit") or stats.get(
+                "bytes_reservable_limit")
+        if limit and not (0.75 * self._ENVELOPE_BASE_BYTES <= limit
+                          <= 1.25 * self._ENVELOPE_BASE_BYTES):
+            px = int(px * (limit / self._ENVELOPE_BASE_BYTES))
+        return max(1, px // (ph * pw))
 
     def _tile_jit(self, key):
         """Instance-cached jitted helpers for the tile path (one wrapper
@@ -919,55 +933,118 @@ class MGLDVSRPipeline:
         fixed = apply_colorfix(decoded, frames_pm1, cfg.colorfix)
         return jnp.clip((fixed + 1.0) / 2.0, 0.0, 1.0)
 
-    def _restore_patches_sharded(self, params, patches, keys, flow_patches,
+    def _restore_patches_sharded(self, params, patches, rng, flow_patches,
                                  devices, dec_w, use_guidance,
-                                 deterministic=False, tiling=(64, 32, 4)):
+                                 deterministic, tiling, patch_batch,
+                                 spliter, full_shape, upsample_scale,
+                                 work_hw):
         """Canvas patches are independent programs — distribute them over
-        local devices with ``shard_map`` over a ('patch',) mesh; each
-        device walks its shard sequentially under ``lax.map`` (one traced
-        body, single-patch memory footprint per device). Per-patch keys and
-        flow patches are identical to the sequential path, so outputs are
-        identical.
+        local devices with ``shard_map`` over a ('patch',) mesh. Same
+        design as the single-device path (r4 measured both levers): each
+        device runs groups of ``kb`` same-shape patches stacked along the
+        WINDOW axis of one compiled canvas program (``window_noise`` tiles
+        every draw per window, so outputs equal the sequential per-patch
+        path), and the overlap-average gather + clamp + final downscale +
+        pad crop run ON DEVICE inside the same jitted program — only the
+        finished frames cross the host link (the r4 host gather measured
+        94 MB/clip + 1.2-1.9 s over the axon tunnel).
 
         Beyond-reference scaling: the reference's tile script
         (oldcanvas_tile.py) is strictly sequential per GPU."""
         import numpy as np
 
-        from jax.sharding import Mesh, PartitionSpec
         from jax import shard_map
+        from jax.sharding import Mesh, PartitionSpec as P
 
+        cfg = self.cfg
+        t = cfg.num_frames
         n_dev = len(devices)
         n_pch = len(patches)
-        pad = (-n_pch) % n_dev
-        stack = jnp.stack(patches + [patches[0]] * pad)
-        kstack = jnp.stack(keys + [keys[0]] * pad)
-        mesh = Mesh(np.array(devices), ("patch",))
+        tile, tile_overlap, batch_tiles = tiling
+        kb = max(1, min(patch_batch, -(-n_pch // n_dev)))
+        n_grp = -(-n_pch // (n_dev * kb))          # groups per device
+        n_pad = n_dev * n_grp * kb
+        order = list(range(n_pch)) + [n_pch - 1] * (n_pad - n_pch)
+        stack = jnp.stack([patches[i] for i in order])
         fstack = None
         if use_guidance:
-            ftrees = list(flow_patches) + [flow_patches[0]] * pad
             fstack = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *ftrees)
+                lambda *xs: jnp.stack(xs),
+                *[flow_patches[i] for i in order])
 
-        tile, tile_overlap, batch_tiles = tiling
+        tt, H, W, C = full_shape
+        ph, pw = spliter.pch_size_h, spliter.pch_size_w
+        positions = tuple(spliter.positions)
+        work_h, work_w = work_hw
+        gkey = ("psharded", tuple(stack.shape), positions, n_dev, kb,
+                dec_w, use_guidance, deterministic, tiling, full_shape,
+                upsample_scale, work_hw)
+        cache = getattr(self, "_tile_jit_cache", None)
+        if cache is None:
+            cache = self._tile_jit_cache = {}
+        fn = cache.get(gkey)
+        if fn is None:
+            mesh = Mesh(np.array(devices), ("patch",))
 
-        def one(args):
-            patch, k, fm = args
-            return self.restore_segment_canvas(
-                params, patch, k, tile=tile, tile_overlap=tile_overlap,
-                batch_tiles=batch_tiles, dec_w=dec_w,
-                use_guidance=use_guidance, flows_masks=fm,
-                deterministic=deterministic, clip01=False)
+            def full_prog(params_, stack_, rng_, fstack_):
+                def one_group(args):
+                    pat, fm = args           # [kb, t, ph, pw, 3]
+                    flat = pat.reshape(kb * t, ph, pw, pat.shape[-1])
+                    fmf = (jax.tree_util.tree_map(
+                        lambda a: a.reshape(a.shape[0] * a.shape[1],
+                                            *a.shape[2:]), fm)
+                        if use_guidance else None)
+                    o = self.restore_segment_canvas(
+                        params_, flat, rng_, tile=tile,
+                        tile_overlap=tile_overlap,
+                        batch_tiles=batch_tiles, dec_w=dec_w,
+                        use_guidance=use_guidance, flows_masks=fmf,
+                        deterministic=deterministic, clip01=False,
+                        window_noise=True)
+                    return o.reshape(kb, t, ph, pw, o.shape[-1])
 
-        def local(stack_l, keys_l, fstack_l):
-            return jax.lax.map(one, (stack_l, keys_l, fstack_l))
+                def local(stack_l, fstack_l):
+                    g = stack_l.reshape(n_grp, kb, *stack_l.shape[1:])
+                    gf = jax.tree_util.tree_map(
+                        lambda a: a.reshape(n_grp, kb, *a.shape[1:]),
+                        fstack_l)
+                    outs = jax.lax.map(one_group, (g, gf))
+                    return outs.reshape(n_grp * kb, *outs.shape[2:])
 
-        fn = shard_map(
-            local, mesh=mesh,
-            in_specs=(PartitionSpec("patch"), PartitionSpec("patch"),
-                      PartitionSpec("patch")),
-            out_specs=PartitionSpec("patch"), check_vma=False)
-        out = jax.jit(fn)(stack, kstack, fstack)
-        return [np.asarray(out[i]) for i in range(n_pch)]
+                out = shard_map(
+                    local, mesh=mesh, in_specs=(P("patch"), P("patch")),
+                    out_specs=P("patch"), check_vma=False)(stack_, fstack_)
+                # device-side overlap-average gather (XLA inserts the
+                # all-gather); only real patches accumulate — the tail
+                # padding repeats patch n_pch-1 and must not double-count
+                acc = jnp.zeros((tt, H, W, C), jnp.float32)
+                cnt = jnp.zeros((1, H, W, 1), jnp.float32)
+                one = jnp.ones((1, ph, pw, 1), jnp.float32)
+                for i in range(n_pch):
+                    oy, ox = positions[i]
+                    patch = out[i].astype(jnp.float32)
+                    cur = jax.lax.dynamic_slice(
+                        acc, (0, oy, ox, 0), (tt, ph, pw, C))
+                    acc = jax.lax.dynamic_update_slice(
+                        acc, cur + patch, (0, oy, ox, 0))
+                    ccur = jax.lax.dynamic_slice(
+                        cnt, (0, oy, ox, 0), (1, ph, pw, 1))
+                    cnt = jax.lax.dynamic_update_slice(
+                        cnt, ccur + one, (0, oy, ox, 0))
+                full = acc / cnt
+                full = jnp.clip((full + 1.0) / 2.0, 0.0, 1.0)
+                if upsample_scale > cfg.sf:
+                    # padded-frame downscale + no-op pad crop quirk
+                    # (tile.py:523-535), exactly as the sequential path
+                    out_h = int(H * cfg.sf / upsample_scale)
+                    out_w = int(W * cfg.sf / upsample_scale)
+                    full = jnp.clip(resize2d(full, (out_h, out_w),
+                                             method="bicubic"), 0.0, 1.0)
+                return full[:, : work_h, : work_w, :]
+
+            fn = jax.jit(full_prog)
+            cache[gkey] = fn
+        return np.asarray(fn(params, stack, rng, fstack))
 
 
 def _synthesize_leaves(shapes, rng: jax.Array):

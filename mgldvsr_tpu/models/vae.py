@@ -63,7 +63,25 @@ class VAEConfig:
     # stage-2 runs fwd+bwd over PIXEL-space activations (512^2 x frames),
     # where the un-rematerialized backward's residency is the limiting
     # factor — same lever as UNetConfig.use_checkpoint, same param tree.
+    remat_min_res: int = 0  # selective remat: only blocks whose running
+    # spatial height >= this value are rematerialized (0 = every block, the
+    # r4 behavior). Memory blowup is dominated by the high-res levels
+    # (512^2 x 128ch activations) while the recompute tax is paid per
+    # block — skipping remat below e.g. 256 keeps the fit lever where it
+    # matters and saves the low-res recompute. Parameter tree unchanged.
     dtype: Any = jnp.float32
+
+    def res_block_cls(self, cur_h: int):
+        """ResnetBlock class for a block running at spatial height cur_h:
+        remat'd when checkpointing is on and the resolution qualifies."""
+        if self.use_checkpoint and cur_h >= self.remat_min_res:
+            return nn.remat(VAEResnetBlock)
+        return VAEResnetBlock
+
+    def fuse_block_cls(self, cur_h: int):
+        if self.use_checkpoint and cur_h >= self.remat_min_res:
+            return nn.remat(FuseBlock)
+        return FuseBlock
 
 
 class Encoder(nn.Module):
@@ -74,13 +92,12 @@ class Encoder(nn.Module):
         cfg = self.cfg
         dt = cfg.dtype
         num_res = len(cfg.ch_mult)
-        res_cls = (nn.remat(VAEResnetBlock) if cfg.use_checkpoint
-                   else VAEResnetBlock)
         curr_res = cfg.resolution
         h = conv3x3(cfg.ch, dt, name="conv_in")(x)
         fea_list = []
         for i_level in range(num_res):
             block_out = cfg.ch * cfg.ch_mult[i_level]
+            res_cls = cfg.res_block_cls(h.shape[1])
             for i_block in range(cfg.num_res_blocks):
                 h = res_cls(block_out, cfg.dropout, dt,
                             name=f"down_{i_level}_block_{i_block}")(h)
@@ -91,6 +108,7 @@ class Encoder(nn.Module):
             if i_level != num_res - 1:
                 h = VAEDownsample(block_out, dt, name=f"down_{i_level}_downsample")(h)
                 curr_res //= 2
+        res_cls = cfg.res_block_cls(h.shape[1])
         h = res_cls(h.shape[-1], cfg.dropout, dt, name="mid_block_1")(h)
         h = VAEAttnBlock(dt, name="mid_attn_1")(h)
         h = res_cls(h.shape[-1], cfg.dropout, dt, name="mid_block_2")(h)
@@ -252,13 +270,11 @@ class Decoder(nn.Module):
         dt = cfg.dtype
         num_res = len(cfg.ch_mult)
         temporal = cfg.num_frames > 1
-        res_cls = (nn.remat(VAEResnetBlock) if cfg.use_checkpoint
-                   else VAEResnetBlock)
-        fuse_cls = nn.remat(FuseBlock) if cfg.use_checkpoint else FuseBlock
         block_in = cfg.ch * cfg.ch_mult[num_res - 1]
         curr_res = cfg.resolution // 2 ** (num_res - 1)
 
         h = conv3x3(block_in, dt, name="conv_in")(z)
+        res_cls = cfg.res_block_cls(h.shape[1])
         h = res_cls(block_in, cfg.dropout, dt, name="mid_block_1")(h)
         if temporal:
             h = SpatialTemporalConv(cfg.num_frames, dt, name="mid_temporal")(h)
@@ -267,6 +283,7 @@ class Decoder(nn.Module):
 
         for i_level in reversed(range(num_res)):
             block_out = cfg.ch * cfg.ch_mult[i_level]
+            res_cls = cfg.res_block_cls(h.shape[1])
             for i_block in range(cfg.num_res_blocks + 1):
                 h = res_cls(block_out, cfg.dropout, dt,
                             name=f"up_{i_level}_block_{i_block}")(h)
@@ -277,8 +294,9 @@ class Decoder(nn.Module):
                     h = VAEAttnBlock(dt, name=f"up_{i_level}_attn_{i_block}")(h)
             if (cfg.enable_fusion and enc_fea is not None
                     and i_level in (1, 2)):
-                h = fuse_cls(block_out, cfg.num_fuse_block, dt,
-                             name=f"fusion_layer_{i_level}")(
+                h = cfg.fuse_block_cls(h.shape[1])(
+                    block_out, cfg.num_fuse_block, dt,
+                    name=f"fusion_layer_{i_level}")(
                     enc_fea[i_level - 1], h, fusion_w)
             if i_level != 0:
                 h = Upsample(block_out, True, dt, name=f"up_{i_level}_upsample")(h)

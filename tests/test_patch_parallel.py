@@ -105,3 +105,32 @@ def test_restore_video_patch_work_is_jitted(monkeypatch):
     assert len(calls) == 1, "per-patch program retraced on the second call"
     assert len(fcalls) == 1, "flows retraced on the second call"
     assert np.isfinite(out).all()
+
+
+def test_patch_batch_envelope_scales_with_hbm():
+    """The auto patch-batch envelope derives from the device's reported
+    HBM limit (VERDICT r4 #7): v5e-band chips use the measured 6x512px
+    constant verbatim; a hypothetical 32 GB chip doubles it; an 8 GB chip
+    halves it; absent stats (the axon tunnel reports {}) behave as v5e."""
+    pipe = MGLDVSRPipeline(tiny_config(num_frames=2, ddpm_steps=2))
+
+    class FakeDev:
+        def __init__(self, limit):
+            self._limit = limit
+
+        def memory_stats(self):
+            if self._limit is None:
+                return {}
+            return {"bytes_limit": self._limit}
+
+    base = pipe._patch_batch_envelope(512, 512, device=FakeDev(None))
+    assert base == 6
+    # within the v5e band (+-25% of 16e9): measured constant, no scaling
+    assert pipe._patch_batch_envelope(512, 512,
+                                      device=FakeDev(15.5e9)) == 6
+    big = pipe._patch_batch_envelope(512, 512, device=FakeDev(32e9))
+    assert big == 12, big
+    small = pipe._patch_batch_envelope(512, 512, device=FakeDev(8e9))
+    assert small == 3, small
+    # smaller patches pack quadratically more windows
+    assert pipe._patch_batch_envelope(256, 256, device=FakeDev(None)) == 24
