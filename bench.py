@@ -50,6 +50,13 @@ def main():
                          "reference fixed script runs flows at FULL res "
                          "(old.py:344-348) — 1.0 is the protocol-faithful "
                          "setting, 0.5 the measured speed knob.")
+    ap.add_argument("--flow-chunk", type=int, default=None,
+                    help="run RAFT over groups of this many frame pairs "
+                         "under lax.map (bounds the corr-volume memory; "
+                         "required for --flow-scale 1.0 at the 6-window "
+                         "batch, whose 96-pair full-res RAFT call "
+                         "compile-OOMs). Outputs identical to the one-"
+                         "shot batch.")
     ap.add_argument("--no-guidance", action="store_true")
     ap.add_argument("--decode-chunk", type=int, default=None,
                     help="segment mode: VAE-decode this many windows per "
@@ -312,6 +319,9 @@ def main():
     if args.flow_scale is not None:
         import dataclasses as _dc
         cfg = _dc.replace(cfg, flow_scale=args.flow_scale)
+    if args.flow_chunk:
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, flow_chunk_pairs=args.flow_chunk)
     pipe = MGLDVSRPipeline(cfg)
     rng = jax.random.PRNGKey(0)
     # fast shape-based init (host-side; no XLA compile)

@@ -38,10 +38,13 @@ def build_pipeline(args):
     def _mk(cfg):
         # --flow-scale overrides the config's RAFT working-resolution knob
         # (segment/latent modes; tile mode passes its own protocol scale)
-        if getattr(args, "flow_scale", None) is not None:
-            import dataclasses
+        import dataclasses
 
+        if getattr(args, "flow_scale", None) is not None:
             cfg = dataclasses.replace(cfg, flow_scale=args.flow_scale)
+        if getattr(args, "flow_chunk", None):
+            cfg = dataclasses.replace(cfg,
+                                      flow_chunk_pairs=args.flow_chunk)
         return MGLDVSRPipeline(cfg)
 
     if args.preset == "tiny":
@@ -222,6 +225,12 @@ def main(argv=None):
                          "1/8 latent res). Tile mode has its own protocol "
                          "scale (0.25, oldcanvas_tile.py:396) and ignores "
                          "this flag unless set explicitly.")
+    ap.add_argument("--flow-chunk", type=int, default=None,
+                    help="run RAFT over groups of this many frame pairs "
+                         "under lax.map (bounds corr-volume memory; the "
+                         "enabler for --flow-scale 1.0 at large window "
+                         "batches; outputs identical to the one-shot "
+                         "batch)")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--no-bf16", dest="bf16", action="store_false")

@@ -66,6 +66,14 @@ class PipelineConfig:
     # in its tiled script (oldcanvas_tile.py:396-401). 0.5 keeps flows
     # well-resolved for the 1/8 latent while quartering RAFT's cost.
     flow_scale: float = 0.5
+    # RAFT pair-batch bound: None/0 = one batched call over every frame
+    # pair (fastest when it fits). At flow_scale=1.0 the 512px 6-window
+    # segment's 96-pair batch compile-OOMs (27.66G vs 15.75G hbm, r05 —
+    # the 4096^2 corr volumes); a chunk runs RAFT over groups of this many
+    # pairs under lax.map, bounding flow memory without shrinking the
+    # SAMPLER batch (flows run once per segment; the 50-step loop doesn't
+    # care). Pairs are independent through RAFT, so outputs are identical.
+    flow_chunk_pairs: Optional[int] = None
     # Decode this many temporal windows per lax.map step (None/0 = the whole
     # batch in one program). Bounds decoder activation memory when batching
     # many windows per segment call; output equal to the full-batch
@@ -232,9 +240,11 @@ class MGLDVSRPipeline:
         n, h, w, c = small.shape
         assert n % nf == 0, f"{n} frames not a multiple of num_frames={nf}"
         clip_frames = small.reshape(n // nf, nf, h, w, c)
-        ff, fb = compute_clip_flows(
-            lambda a, b: self.raft.apply(params["raft"], a, b), clip_frames
-        )
+        raft_fn = lambda a, b: self.raft.apply(params["raft"], a, b)
+        ck = self.cfg.flow_chunk_pairs
+        if ck:
+            raft_fn = _chunked_pairs(raft_fn, ck)
+        ff, fb = compute_clip_flows(raft_fn, clip_frames)
         to_latent = 0.125 / fs
         ff = flows_to_latent_res(ff, to_latent)
         fb = flows_to_latent_res(fb, to_latent)
@@ -1045,6 +1055,29 @@ class MGLDVSRPipeline:
             fn = jax.jit(full_prog)
             cache[gkey] = fn
         return np.asarray(fn(params, stack, rng, fstack))
+
+
+def _chunked_pairs(fn, chunk: int):
+    """Wrap a per-pair batched net (e.g. RAFT) so it processes its batch in
+    ``chunk``-sized groups under ``lax.map`` — bounds peak activation
+    memory (the corr volumes) at the cost of serializing groups. Pairs are
+    independent through the net, so outputs equal the one-shot batch."""
+
+    def wrapped(a, b):
+        n = a.shape[0]
+        if n <= chunk:
+            return fn(a, b)
+        pad = (-n) % chunk
+        if pad:
+            a = jnp.concatenate([a, a[:pad]], 0)
+            b = jnp.concatenate([b, b[:pad]], 0)
+        ar = a.reshape(-1, chunk, *a.shape[1:])
+        br = b.reshape(-1, chunk, *b.shape[1:])
+        fl = jax.lax.map(lambda ab: fn(*ab), (ar, br))
+        fl = fl.reshape(-1, *fl.shape[2:])
+        return fl[:n]
+
+    return wrapped
 
 
 def _synthesize_leaves(shapes, rng: jax.Array):

@@ -117,8 +117,12 @@ def test_restore_video_full_protocol_awkward_size():
 
 def test_restore_video_auto_geometry_matches_explicit():
     """pch_size<=0 resolves to the measured-optimal grid: one canvas tile
-    per patch (8*tile px) with stride 7/8 of it — bit-identical to passing
-    those values explicitly."""
+    per patch (8*tile px) with stride 7/8 of it IN LATENT UNITS scaled
+    back up (ADVICE r4: a non-/8-aligned pixel stride — e.g. the naive
+    32*7//8=28 at tile=4 — desyncs the pixel patch grid from its /8 flow
+    spliter by up to 7 px). tile=4 -> pch 32, stride 8*max(28//8,1)=24 —
+    bit-identical to passing those values explicitly. At the production
+    tile=64 both formulas give 512/448."""
     pipe = MGLDVSRPipeline(tiny_config(ddpm_steps=2))
     t = pipe.cfg.num_frames
     frames = jnp.asarray(np.random.RandomState(1).rand(t, 13, 11, 3),
@@ -128,5 +132,11 @@ def test_restore_video_auto_geometry_matches_explicit():
     auto = pipe.restore_video(params, frames, jax.random.PRNGKey(1),
                               pch_size=0, pch_stride=0, **kw)
     explicit = pipe.restore_video(params, frames, jax.random.PRNGKey(1),
-                                  pch_size=32, pch_stride=28, **kw)
+                                  pch_size=32, pch_stride=24, **kw)
     np.testing.assert_array_equal(np.asarray(auto), np.asarray(explicit))
+    # a stale explicit stride >= an AUTO-resolved patch size auto-resolves
+    # too (ADVICE r4 medium: --vqgantile-size 0 with the reference's 750
+    # stride default must not silently become a zero-overlap grid)
+    stale = pipe.restore_video(params, frames, jax.random.PRNGKey(1),
+                               pch_size=0, pch_stride=750, **kw)
+    np.testing.assert_array_equal(np.asarray(stale), np.asarray(auto))

@@ -241,3 +241,30 @@ def test_raft_pallas_lookup_matches_xla():
     fp = net_p.apply(params, ref, sup)
     np.testing.assert_allclose(np.asarray(fx), np.asarray(fp),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_flow_chunked_pairs_equals_batched():
+    """flow_chunk_pairs runs RAFT over lax.map groups — the enabler for
+    full-res flows at large window batches (the 96-pair 512px batch
+    compile-OOMs at 27.66G, r05). Pairs are independent through RAFT, so
+    chunked output must equal the one-shot batch exactly."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from tests.test_pipeline import tiny_config
+    from mgldvsr_tpu.infer.pipeline import MGLDVSRPipeline
+
+    cfg = tiny_config(num_frames=3)
+    pipe = MGLDVSRPipeline(cfg)
+    pipe_ck = MGLDVSRPipeline(
+        dataclasses.replace(cfg, flow_chunk_pairs=3))
+    params = pipe.init_params(jax.random.PRNGKey(0), 32, 32)
+    frames = jax.random.uniform(jax.random.PRNGKey(1), (6, 32, 32, 3))
+    (ff, fb), (of, ob) = pipe.compute_flows(params, frames)
+    (cf, cb), (co, cb2) = pipe_ck.compute_flows(params, frames)
+    np.testing.assert_allclose(np.asarray(cf), np.asarray(ff), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cb), np.asarray(fb), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(co), np.asarray(of), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cb2), np.asarray(ob), atol=1e-6)

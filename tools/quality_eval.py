@@ -51,6 +51,12 @@ def main():
                     help="flow weights for E*warp (random-init flows are "
                          "meaningless; omit to skip E*warp)")
     ap.add_argument("--crop-border", type=int, default=0)
+    ap.add_argument("--fid-against", default=None,
+                    help="second directory: report FID between the two "
+                         "frame populations (InceptionV3 pool features)")
+    ap.add_argument("--inception-ckpt", default=None,
+                    help="pt_inception weights for FID; 'random' "
+                         "exercises the path with random init")
     args = ap.parse_args()
 
     import numpy as np
@@ -62,14 +68,23 @@ def main():
 
     lpips_fn = None
     if args.lpips_ckpt:
-        import torch
-
-        from mgldvsr_tpu.io.ckpt_convert import convert_lpips
         from mgldvsr_tpu.models.lpips import LPIPS
 
-        sd = torch.load(args.lpips_ckpt, map_location="cpu")
-        lp_params = convert_lpips(sd)
         lp = LPIPS()
+        if args.lpips_ckpt == "random":
+            # harness-proof mode (no checkpoints in the environment):
+            # random weights exercise the exact metric path; numbers are
+            # meaningless until real weights are swapped in
+            lp_params = lp.init(jax.random.PRNGKey(0),
+                                jnp.zeros((1, 64, 64, 3)),
+                                jnp.zeros((1, 64, 64, 3)))
+        else:
+            import torch
+
+            from mgldvsr_tpu.io.ckpt_convert import convert_lpips
+
+            sd = torch.load(args.lpips_ckpt, map_location="cpu")
+            lp_params = convert_lpips(sd)
 
         def lpips_fn(a01, b01):  # [T,H,W,3] in [0,1]
             val = lp.apply(lp_params, jnp.asarray(a01 * 2 - 1),
@@ -87,14 +102,22 @@ def main():
 
     ewarp_fn = None
     if args.raft_ckpt:
-        import torch
-
         from mgldvsr_tpu.flow.raft import RAFT, RAFTConfig
-        from mgldvsr_tpu.io.ckpt_convert import convert_raft
         from mgldvsr_tpu.metrics.temporal import calculate_ewarp
 
-        raft = RAFT(RAFTConfig())
-        rp = convert_raft(torch.load(args.raft_ckpt, map_location="cpu"))
+        if args.raft_ckpt == "random":
+            raft = RAFT(RAFTConfig(iters=4))
+            rp = raft.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)),
+                           jnp.zeros((1, 64, 64, 3)))
+        else:
+            import torch
+
+            from mgldvsr_tpu.io.ckpt_convert import convert_raft
+
+            raft = RAFT(RAFTConfig())
+            rp = convert_raft(torch.load(args.raft_ckpt,
+                                         map_location="cpu"))
 
         def ewarp_fn(a01):
             return float(calculate_ewarp(
@@ -130,10 +153,44 @@ def main():
         for k, v in row.items():
             if isinstance(v, float):
                 agg.setdefault(k, []).append(v)
-    if agg:
-        print(json.dumps(
-            {"clip": "__mean__",
-             **{k: float(np.mean(v)) for k, v in agg.items()}}))
+    final = {"clip": "__mean__",
+             **{k: float(np.mean(v)) for k, v in agg.items()}}
+    if args.fid_against:
+        from mgldvsr_tpu.metrics.fid import (
+            calculate_activation_statistics,
+            calculate_fid,
+            extract_features,
+            load_patched_inception,
+        )
+
+        if args.inception_ckpt == "random":
+            # harness-proof mode: random InceptionV3 exercises the exact
+            # FID path; numbers are meaningless until real weights arrive
+            from mgldvsr_tpu.metrics.inception import InceptionV3FID
+
+            model = InceptionV3FID(resize_input=True,
+                                   normalize_input=False)
+            ip = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 64, 3)))
+            feat_fn = jax.jit(lambda x: model.apply(ip, x))
+        else:
+            feat_fn = load_patched_inception(args.inception_ckpt)
+
+        def _pop(root):
+            frames = []
+            for clip in sorted(os.listdir(root)):
+                d = os.path.join(root, clip)
+                if os.path.isdir(d):
+                    frames.append(_load_clip(d))
+            x = np.concatenate(frames) / 255.0
+            batches = [x[i : i + 8] for i in range(0, len(x), 8)]
+            return extract_features(feat_fn, batches)
+
+        mu1, s1 = calculate_activation_statistics(_pop(args.restored))
+        mu2, s2 = calculate_activation_statistics(_pop(args.fid_against))
+        final["fid_vs_against"] = float(calculate_fid(mu1, s1, mu2, s2))
+    if agg or args.fid_against:
+        print(json.dumps(final))
 
 
 if __name__ == "__main__":

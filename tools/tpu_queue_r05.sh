@@ -43,8 +43,8 @@ run() {
   sleep 10
 }
 
-run headline timeout 2400 python -u bench.py --iters 2
-run headline_fs10 timeout 3600 python -u bench.py --iters 2 --flow-scale 1.0
+run headline timeout 5400 python -u bench.py --iters 2
+run headline_fs10 timeout 5400 python -u bench.py --iters 2 --flow-scale 1.0
 run tile512 timeout 3000 env MGLD_PROGRESS=1 python -u bench.py \
   --mode tile --iters 2
 run train2_512_fused timeout 3600 python -u bench.py --mode train2 \
