@@ -58,6 +58,18 @@ if ! grep -qE '^\{' "$OUT/headline_fs10_ck8.log" 2>/dev/null; then
   fi
 fi
 
+# stage-2 512px remat ladder: phase A measured fused+remat2 AND
+# split+mr256 both crash the remote compile helper (HTTP 500, exit 1 —
+# same signature as the r4 pre-remat fused crashes), while split+full-
+# remat2 compiled and ran 0.4766 steps/s in r4. mr128 saves only the
+# 64px-res blocks (minimal deviation from full remat); if it also
+# crashes, full per-block remat is the only compiling 512px config and
+# 0.4766 is the measured floor (helper-bound, not recompute-bound).
+run train2_512_mr128 timeout 3600 python -u bench.py --mode train2 \
+  --size 512 --iters 3 --split-step --remat2 --remat-min-res 128
+run train2_512_full_remat timeout 3600 python -u bench.py --mode train2 \
+  --size 512 --iters 3 --split-step --remat2
+
 run soak1 timeout 7200 python -u tools/soak_train.py --stage 1 \
   --steps 2000 --workdir /tmp/soak1 --log-every 25
 run soak2 timeout 7200 python -u tools/soak_train.py --stage 2 \
