@@ -46,17 +46,19 @@ def main():
     ap.add_argument("--baseline-fps", type=float, default=0.25)
     ap.add_argument("--flow-scale", type=float, default=None,
                     help="segment mode: resolution RAFT runs at relative "
-                         "to the working size (default: config 0.5). The "
-                         "reference fixed script runs flows at FULL res "
-                         "(old.py:344-348) — 1.0 is the protocol-faithful "
-                         "setting, 0.5 the measured speed knob.")
+                         "to the working size (default: config 1.0, the "
+                         "reference fixed-script protocol, old.py:344-348;"
+                         " measured 1.7751 fps/chip at the 6-window "
+                         "headline). 0.5 is the measured speed knob "
+                         "(1.9174 fps — flows are only consumed at 1/8 "
+                         "latent res).")
     ap.add_argument("--flow-chunk", type=int, default=None,
                     help="run RAFT over groups of this many frame pairs "
-                         "under lax.map (bounds the corr-volume memory; "
-                         "required for --flow-scale 1.0 at the 6-window "
-                         "batch, whose 96-pair full-res RAFT call "
-                         "compile-OOMs). Outputs identical to the one-"
-                         "shot batch.")
+                         "under lax.map (default: config 8 — required "
+                         "for flow_scale 1.0 at the 6-window batch, "
+                         "whose one-shot full-res RAFT call compile-OOMs "
+                         "at 27.66G; 0 = one batched call). Outputs "
+                         "identical to the one-shot batch.")
     ap.add_argument("--no-guidance", action="store_true")
     ap.add_argument("--decode-chunk", type=int, default=None,
                     help="segment mode: VAE-decode this many windows per "
@@ -409,6 +411,7 @@ def main():
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / args.baseline_fps, 3),
                 "windows": args.windows,
+                "flow_scale": cfg.flow_scale,
                 "baseline_fps": args.baseline_fps,
                 "baseline_provenance": (
                     "ESTIMATE (see BASELINE.md 'Anchor provenance'): the "

@@ -217,14 +217,13 @@ def main(argv=None):
                          "temperature>0)")
     ap.add_argument("--flow-scale", type=float, default=None,
                     help="resolution RAFT runs at, relative to the working "
-                         "size. Default: the pipeline config (0.5). The "
+                         "size. Default: the pipeline config (1.0 — the "
                          "reference's fixed script computes flows at FULL "
-                         "working resolution (old.py:344-348) — pass 1.0 "
-                         "for the protocol-faithful setting; 0.5 is the "
-                         "measured speed knob (flows are only consumed at "
-                         "1/8 latent res). Tile mode has its own protocol "
-                         "scale (0.25, oldcanvas_tile.py:396) and ignores "
-                         "this flag unless set explicitly.")
+                         "working resolution, old.py:344-348). 0.5 is the "
+                         "measured speed knob (+8%% fps; flows are only "
+                         "consumed at 1/8 latent res). Tile mode has its "
+                         "own protocol scale (0.25, oldcanvas_tile.py:396) "
+                         "and ignores this flag unless set explicitly.")
     ap.add_argument("--flow-chunk", type=int, default=None,
                     help="run RAFT over groups of this many frame pairs "
                          "under lax.map (bounds corr-volume memory; the "

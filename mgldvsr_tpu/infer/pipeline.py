@@ -61,19 +61,23 @@ class PipelineConfig:
     guidance_mode: str = "reference"
     dec_w: float = 1.0
     colorfix: str = "adain"
-    # Resolution at which RAFT runs, relative to the working size. Guidance
-    # only consumes 1/8-res flows; the reference itself uses 1/4-res flows
-    # in its tiled script (oldcanvas_tile.py:396-401). 0.5 keeps flows
-    # well-resolved for the 1/8 latent while quartering RAFT's cost.
-    flow_scale: float = 0.5
-    # RAFT pair-batch bound: None/0 = one batched call over every frame
-    # pair (fastest when it fits). At flow_scale=1.0 the 512px 6-window
-    # segment's 96-pair batch compile-OOMs (27.66G vs 15.75G hbm, r05 —
-    # the 4096^2 corr volumes); a chunk runs RAFT over groups of this many
-    # pairs under lax.map, bounding flow memory without shrinking the
-    # SAMPLER batch (flows run once per segment; the 50-step loop doesn't
-    # care). Pairs are independent through RAFT, so outputs are identical.
-    flow_chunk_pairs: Optional[int] = None
+    # Resolution at which RAFT runs, relative to the working size. 1.0 is
+    # the reference's fixed-script protocol (old.py:344-348 runs flows at
+    # full working res) and the parity-oracle setting — the default.
+    # Guidance only consumes 1/8-res flows, so 0.5 is the measured speed
+    # knob (1.9174 vs 1.7751 fps/chip at the 512px 6-window headline,
+    # r05 — +8% for a cheaper-than-reference flow protocol); the tiled
+    # script's own protocol is 0.25 (oldcanvas_tile.py:396-401).
+    flow_scale: float = 1.0
+    # RAFT pair-batch bound: one batched call when the pair count is <=
+    # this (fastest), else lax.map over groups of this many pairs. At
+    # flow_scale=1.0 the 512px 6-window segment's one-shot 48-eval batch
+    # compile-OOMs (27.66G vs 15.75G hbm, r05 — the full-res corr
+    # volumes); chunking bounds flow memory without shrinking the SAMPLER
+    # batch (flows run once per segment; the 50-step loop doesn't care).
+    # Pairs are independent through RAFT, so outputs are identical.
+    # None/0 = always one batched call.
+    flow_chunk_pairs: Optional[int] = 8
     # Decode this many temporal windows per lax.map step (None/0 = the whole
     # batch in one program). Bounds decoder activation memory when batching
     # many windows per segment call; output equal to the full-batch
