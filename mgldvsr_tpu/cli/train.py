@@ -171,6 +171,11 @@ def main(argv=None):
     ap.add_argument("--tensor-parallel", type=int, default=1,
                     help="tensor axis size of the mesh (weights' out-dims "
                          "split megatron-style; degrades gracefully)")
+    ap.add_argument("--split-step", action="store_true",
+                    help="stage 2: jit flows/generator/discriminator as "
+                         "three programs instead of one fused step "
+                         "(identical math; the fused 512px compile "
+                         "crashes the remote helper — measured r04/r05)")
     ap.add_argument("--zero1", action="store_true",
                     help="ZeRO stage-1: shard optimizer moments, grad-accum "
                          "buffers and EMA shadows over the mesh's data axis "
@@ -392,6 +397,19 @@ def main(argv=None):
             # pin the updated state to its ZeRO-1 placement every step
             step_fn = jax.jit(trainer.train_step, donate_argnums=0,
                               out_shardings=(state_shardings(state), None))
+        elif args.split_step:
+            assert mesh is None, "--split-step is a single-chip fit lever"
+            # three programs instead of one fused step: identical math;
+            # the 512px fused compile crashes the remote helper (r04/r05)
+            flows_fn = jax.jit(trainer.frozen_flows)
+            gen_fn = jax.jit(trainer.gen_step)
+            disc_fn = jax.jit(trainer.disc_step, donate_argnums=0)
+
+            def step_fn(st, lq_, gt_, lat_, _rng):
+                fl, oc = flows_fn(st, gt_)
+                st, recon, mg = gen_fn(st, lq_, gt_, lat_, fl, oc)
+                st, md = disc_fn(st, gt_, recon)
+                return st, {**mg, **md}
         else:
             # donate: without aliasing, XLA holds input+output copies of the
             # full train state (2x ~GiB-scale on a 16 GB chip)

@@ -142,8 +142,14 @@ def launch(args, logdir, resume: bool, tag: str):
                 "--lq-root", os.path.join(args.workdir, "lq"),
                 "--latent-root", os.path.join(args.workdir, "lat")]
         if not args.tiny:
+            # the only compiling 512px stage-2 config (r05 measured):
+            # split-step + per-block remat with the 64px-res blocks saved
+            # (mr128: 0.5221 steps/s vs 0.4582 full remat; fused and
+            # mr256 both crash the remote compile helper)
             cmd += ["--set", "model.vae.use_checkpoint=true",
-                    "--set", "model.vae.dtype=bfloat16"]
+                    "--set", "model.vae.remat_min_res=128",
+                    "--set", "model.vae.dtype=bfloat16",
+                    "--split-step"]
     if args.tiny:
         # env-var pinning does NOT survive the axon sitecustomize; the CLI
         # flag pins in-process (NOTES.md operational lessons)
