@@ -287,9 +287,14 @@ def main():
             "--sig-frac so the kill lands mid-run)")
     resumed_first = rows[n_rows1]["step"]
     resume_ok = resumed_first == ck + 1
-    loss_key = ("loss" if any("loss" in r for r in rows)
-                else ("g_total" if any("g_total" in r for r in rows)
-                      else None))
+    # Judge convergence on a loss that SHOULD decrease on an overfit set:
+    # stage-1 "loss" (eps-MSE), stage-2 "rec_loss" (L1+LPIPS recon) — NOT
+    # the adversarial g_loss/loss_g, which a healthy GAN does not shrink.
+    loss_key = None
+    for cand in ("loss", "rec_loss", "nll_loss"):
+        if any(cand in r for r in rows):
+            loss_key = cand
+            break
     if loss_key is None:  # fall back to the first *loss* metric present
         cands = [k for k in rows[-1] if "loss" in k]
         loss_key = cands[0] if cands else None
