@@ -213,6 +213,12 @@ def main():
                          "512px compile through the remote helper)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model + CPU (CI smoke of this driver itself)")
+    ap.add_argument("--phase2-only", action="store_true",
+                    help="skip phase 1: resume from the existing workdir "
+                         "checkpoint and run to --steps (recovery mode for "
+                         "a phase-2 killed by an outer queue timeout; the "
+                         "SIGUSR1 checkpoint from the original phase 1 is "
+                         "reused)")
     args = ap.parse_args()
     if args.tiny:
         args.size = 32
@@ -234,37 +240,49 @@ def main():
     ckpt_dir = os.path.join(logdir, "ckpt")
     sig_step = max(2, int(args.steps * args.sig_frac))
 
-    # ---- phase 1: run to sig_step, SIGUSR1, wait for ckpt, SIGKILL -------
-    proc = launch(args, logdir, resume=False, tag="a")
-    try:
-        wait_for_step(proc, metrics_path, 1, args.compile_timeout, "compile")
-        t_first = time.time()
-        wait_for_step(proc, metrics_path, sig_step,
-                      args.compile_timeout, "phase1")
-        proc.send_signal(signal.SIGUSR1)
-        print(f"SIGUSR1 sent at >= step {sig_step}", flush=True)
-        t0 = time.time()
-        ck = None
-        while time.time() - t0 < 600:
-            ck = latest_ckpt_step(ckpt_dir)
-            if ck is not None and ck >= sig_step:
-                break
-            if proc.poll() is not None:
-                raise RuntimeError("trainer died after SIGUSR1")
-            time.sleep(3)
-        if ck is None:
-            raise TimeoutError("no checkpoint appeared after SIGUSR1")
-        # give orbax a moment to finalize, then UNCLEAN kill
-        time.sleep(10)
+    if args.phase2_only:
         ck = latest_ckpt_step(ckpt_dir)
-    finally:
-        if proc.poll() is None:
-            proc.kill()
-            proc.wait()
-    rows1 = read_metrics(metrics_path)
-    last_before = rows1[-1]["step"]
-    print(f"phase1 killed at step {last_before}; checkpoint at {ck}",
-          flush=True)
+        if ck is None:
+            raise SystemExit("--phase2-only: no checkpoint in workdir")
+        rows1 = read_metrics(metrics_path)
+        last_before = rows1[-1]["step"]
+        print(f"phase2-only: resuming from checkpoint {ck} "
+              f"(metrics last step {last_before})", flush=True)
+    else:
+        rows1 = None
+
+    # ---- phase 1: run to sig_step, SIGUSR1, wait for ckpt, SIGKILL -------
+    if not args.phase2_only:
+        proc = launch(args, logdir, resume=False, tag="a")
+        try:
+            wait_for_step(proc, metrics_path, 1, args.compile_timeout,
+                          "compile")
+            wait_for_step(proc, metrics_path, sig_step,
+                          args.compile_timeout, "phase1")
+            proc.send_signal(signal.SIGUSR1)
+            print(f"SIGUSR1 sent at >= step {sig_step}", flush=True)
+            t0 = time.time()
+            ck = None
+            while time.time() - t0 < 600:
+                ck = latest_ckpt_step(ckpt_dir)
+                if ck is not None and ck >= sig_step:
+                    break
+                if proc.poll() is not None:
+                    raise RuntimeError("trainer died after SIGUSR1")
+                time.sleep(3)
+            if ck is None:
+                raise TimeoutError("no checkpoint appeared after SIGUSR1")
+            # give orbax a moment to finalize, then UNCLEAN kill
+            time.sleep(10)
+            ck = latest_ckpt_step(ckpt_dir)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+                proc.wait()
+        rows1 = read_metrics(metrics_path)
+        last_before = rows1[-1]["step"]
+        print(f"phase1 killed at step {last_before}; checkpoint at {ck}",
+              flush=True)
 
     # ---- phase 2: resume, run to completion ------------------------------
     n_rows1 = len(rows1)
