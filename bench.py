@@ -402,6 +402,12 @@ def main():
     best = min(times)
     fps = nb / best
     wtag = f" ({args.windows}-window batch)" if args.windows > 1 else ""
+    if cfg.flow_scale >= 1.0:
+        # r5 protocol change: flows at the reference's full working res
+        # (old.py:344-348) — label it so cross-round comparisons don't
+        # read the default flip (r3/r4 benched the 0.5 speed knob at
+        # 1.9174) as a regression
+        wtag += " [full-res flows]"
 
     print(
         json.dumps(
