@@ -34,6 +34,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 
 def make_clip_frames(clip_idx: int, n_frames: int, size: int):
@@ -125,6 +126,9 @@ def launch(args, logdir, resume: bool, tag: str):
     if args.stage == 1:
         cmd += ["--data-root", os.path.join(args.workdir, "gt"),
                 "--frozen-dtype", "bfloat16"]
+        if args.packed:
+            cmd += ["--set", "data.packed_root="
+                    + os.path.join(args.workdir, "packed")]
         if not args.tiny:
             # the shipped 512px single-chip config: per-block remat in the
             # UNet towers (measured REQUIRED at 512px on 16 GB, r03)
@@ -213,6 +217,15 @@ def main():
                          "512px compile through the remote helper)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model + CPU (CI smoke of this driver itself)")
+    ap.add_argument("--throughput-only", action="store_true",
+                    help="no signal/kill/resume: run phase 1 to --steps "
+                         "and report steps/s only (input-pipeline A/B "
+                         "mode)")
+    ap.add_argument("--packed", action="store_true",
+                    help="stage 1: pack the synthetic gt tree once "
+                         "(native/loader.pack_image_dir) and feed the "
+                         "trainer through the native C++ clip loader "
+                         "(--set data.packed_root=...)")
     ap.add_argument("--phase2-only", action="store_true",
                     help="skip phase 1: resume from the existing workdir "
                          "checkpoint and run to --steps (recovery mode for "
@@ -228,6 +241,13 @@ def main():
         if not os.path.isdir(os.path.join(args.workdir, "gt")):
             make_stage1_data(os.path.join(args.workdir, "gt"), args.clips,
                              args.frames_per_clip, args.size)
+        if args.packed and not os.path.isdir(
+                os.path.join(args.workdir, "packed")):
+            from mgldvsr_tpu.native.loader import pack_image_dir
+
+            n = pack_image_dir(os.path.join(args.workdir, "gt"),
+                               os.path.join(args.workdir, "packed"))
+            print(f"packed {n} frames", flush=True)
     else:
         if not os.path.isdir(os.path.join(args.workdir, "gt")):
             make_stage2_data(os.path.join(args.workdir, "gt"),
@@ -239,6 +259,42 @@ def main():
     metrics_path = os.path.join(logdir, "metrics.jsonl")
     ckpt_dir = os.path.join(logdir, "ckpt")
     sig_step = max(2, int(args.steps * args.sig_frac))
+
+    if args.throughput_only:
+        proc = launch(args, logdir, resume=False, tag="tp")
+        try:
+            rows = wait_for_step(proc, metrics_path, args.steps,
+                                 args.compile_timeout
+                                 + args.steps * 30, "throughput")
+            proc.wait(timeout=600)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+                proc.wait()
+        ts = [(r["step"], r["time"]) for r in rows]
+        rates = sorted((s1 - s0) / (t1 - t0)
+                       for (s0, t0), (s1, t1) in zip(ts, ts[1:])
+                       if t1 > t0 and s1 > s0)
+        # skip the warmup quarter for the steady rate
+        steady = rates and sorted(
+            (s1 - s0) / (t1 - t0)
+            for (s0, t0), (s1, t1) in zip(ts[len(ts) // 4:],
+                                          ts[len(ts) // 4 + 1:])
+            if t1 > t0 and s1 > s0) or [0.0]
+        summary = {
+            "mode": "throughput_only", "stage": args.stage,
+            "steps": args.steps, "gt_size": args.size,
+            "packed": bool(args.packed),
+            "steps_per_sec_median": round(steady[len(steady) // 2], 4),
+            "steps_per_sec_p10": round(steady[len(steady) // 10], 4),
+            "steps_per_sec_p90": round(steady[(len(steady) * 9) // 10], 4),
+            "ok": True,
+        }
+        with open(os.path.join(args.workdir, "soak_summary.json"),
+                  "w") as f:
+            json.dump(summary, f, indent=1)
+        print(json.dumps(summary), flush=True)
+        return
 
     if args.phase2_only:
         ck = latest_ckpt_step(ckpt_dir)
