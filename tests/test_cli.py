@@ -183,6 +183,21 @@ def test_train_cli_stage2_tiny_one_step(tmp_path):
              open(os.path.join(logdir, "metrics.jsonl"))]
     assert lines
     assert os.path.isdir(os.path.join(logdir, "ckpt"))
+    # --split-step (the 512px single-chip fit lever: three jitted
+    # programs, identical math) must produce the same metric keys and a
+    # matching loss on the identical data/seed/state
+    logdir_s = str(tmp_path / "run2s")
+    train_main(["--stage", "2", "--data-root", out, "--lq-root", lq_root,
+                "--latent-root", out, "--logdir", logdir_s,
+                "--max-steps", "1", "--tiny", "--grad-accum", "1",
+                "--ckpt-every", "1", "--log-every", "1", "--split-step"])
+    lines_s = [json.loads(l) for l in
+               open(os.path.join(logdir_s, "metrics.jsonl"))]
+    assert set(lines_s[0]) == set(lines[0])
+    import numpy as np
+
+    np.testing.assert_allclose(lines_s[0]["loss_g"], lines[0]["loss_g"],
+                               rtol=2e-4)
 
 
 def test_infer_cli_tile_tiny(tmp_path):
